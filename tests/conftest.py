@@ -1,0 +1,42 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This is the analogue of the reference's single-process fallback testing story
+(SURVEY.md §4): multi-device code paths are exercised without TPU hardware via
+XLA's host-platform device splitting.
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# The upstream reference (read-only) doubles as the numerical oracle when
+# present; tests that need it skip gracefully otherwise.
+REFERENCE_PATH = "/root/reference/montage_gan"
+HAS_REFERENCE = os.path.isdir(REFERENCE_PATH)
+if HAS_REFERENCE and REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "reference: test needs the upstream reference repo as oracle")
+
+
+def pytest_collection_modifyitems(config, items):
+    if HAS_REFERENCE:
+        return
+    skip = pytest.mark.skip(reason="reference repo not available")
+    for item in items:
+        if "reference" in item.keywords:
+            item.add_marker(skip)
