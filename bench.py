@@ -1,0 +1,86 @@
+"""Benchmark: MontageGAN all-in-one training throughput on one chip.
+
+Measures imgs/sec of the full jitted AIO train step (9 local GAN G/D phases +
+global GAN + renderer, lazy-reg masks amortized) at the reference's canonical
+cfg 'aio' geometry: 9 RGBA layers, 256px base, batch 32
+(reference: train_aio.py:179-184, main.py:7-16).
+
+Prints ONE JSON line:
+  {"metric": "train_aio imgs/sec/chip @256px", "value": N,
+   "unit": "imgs/sec", "vs_baseline": N}
+
+``vs_baseline`` normalizes against BASELINE_IMGS_PER_SEC, an *estimate* of the
+PyTorch reference's train_aio throughput on one A100 (the reference publishes
+no numbers — BASELINE.md; the north-star target is ≥2× that estimate).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated reference (PyTorch, A100) train_aio throughput at cfg 'aio'.
+# The reference publishes no benchmarks (BASELINE.md); this anchor is derived
+# from SG2-ADA's published 256px training speed scaled by MontageGAN's ~11
+# sequential phase passes per batch. Revisit when a measured number exists.
+BASELINE_IMGS_PER_SEC = 25.0
+
+BATCH = 32
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main():
+    from montage_gan_tpu.data.synthetic import synthetic_batch
+    from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
+    from montage_gan_tpu.training.augment import make_augment_config
+    from montage_gan_tpu.training.train_step import MontageTrainer, TrainHyper
+    from montage_gan_tpu.utils.image_utils import make_batch_for_local_d_np
+
+    cfg = MontageConfig()  # production 9-layer 256px config (cfg 'aio')
+    ens = MontageEnsemble(cfg)
+    hyper = TrainHyper(batch_size=BATCH,
+                       augment=make_augment_config('bgcfnc'),
+                       ada_target=0.6)
+    trainer = MontageTrainer(ens, hyper)
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+
+    rng = np.random.RandomState(0)
+    stack01 = synthetic_batch(rng, BATCH, cfg.num_layers, cfg.base_resolution)
+    crops = tuple(jnp.asarray(c) for c in make_batch_for_local_d_np(
+        stack01, [list(t) for t in cfg.layer_targets], to_minus11=True))
+    stack = jnp.asarray(stack01 * 2.0 - 1.0)
+
+    step = jax.jit(trainer.train_step, donate_argnums=(0,))
+
+    t_compile = time.time()
+    state, stats = step(state, stack, crops, jax.random.PRNGKey(1))
+    jax.block_until_ready(stats)
+    compile_s = time.time() - t_compile
+
+    for i in range(WARMUP_STEPS):
+        state, stats = step(state, stack, crops, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(stats)
+
+    t0 = time.time()
+    for i in range(MEASURE_STEPS):
+        state, stats = step(state, stack, crops, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(stats)
+    dt = time.time() - t0
+
+    imgs_per_sec = BATCH * MEASURE_STEPS / dt
+    result = {
+        "metric": "train_aio imgs/sec/chip @256px (9-layer AIO step)",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    # extra context on stderr-like secondary line is avoided: single line only
+
+
+if __name__ == "__main__":
+    main()

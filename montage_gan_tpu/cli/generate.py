@@ -1,0 +1,91 @@
+"""Sample images from a trained snapshot.
+
+CLI parity with the reference's generate.py (reference: generate.py:49-132):
+seed list → z → ensemble → RGBA PNGs, with truncation and noise-mode control;
+also saves the composited montage and (optionally) per-layer images.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List
+
+import click
+import numpy as np
+
+
+def parse_range(s: str) -> List[int]:
+    """'1,2,5-10' → [1, 2, 5, …, 10] (reference: generate.py:24-36)."""
+    out: List[int] = []
+    for part in s.split(','):
+        m = re.match(r'^(\d+)-(\d+)$', part)
+        if m:
+            out.extend(range(int(m.group(1)), int(m.group(2)) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+@click.command()
+@click.option('--network', 'network_path', required=True, metavar='PATH',
+              help='EMA snapshot (.msgpack, with sibling .json)')
+@click.option('--seeds', type=parse_range, required=True)
+@click.option('--trunc', 'truncation_psi', type=float, default=1.0)
+@click.option('--noise-mode', type=click.Choice(['const', 'random', 'none']),
+              default='const')
+@click.option('--outdir', required=True, metavar='DIR')
+@click.option('--save-layers', is_flag=True, default=False)
+@click.option('--composite', type=click.Choice(['alpha', 'renderer']),
+              default='alpha')
+def main(network_path, seeds, truncation_psi, noise_mode, outdir,
+         save_layers, composite):
+    """Generate montage images (RGBA) from a snapshot."""
+    from ..utils.platform import select_platform
+    select_platform()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..ops.composite import alpha_composite
+    from ..utils.checkpoint import load_ema_snapshot
+    from ..utils.image_utils import normalize_zero1
+
+    os.makedirs(outdir, exist_ok=True)
+    cfg, ens, tree = load_ema_snapshot(network_path)
+
+    @jax.jit
+    def sample(z, rng):
+        if cfg.train_global:
+            placed, _ = ens.run_global_g(tree, z, noise_rng=rng,
+                                         noise_mode=noise_mode,
+                                         truncation_psi=truncation_psi)
+        else:
+            ws = ens.mapping.apply(tree['mapping'], z,
+                                   truncation_psi=truncation_psi)
+            placed = ens.synthesize_layers(tree, ws, noise_rng=rng,
+                                           noise_mode=noise_mode)
+        placed = jnp.clip(placed, -1, 1)
+        if composite == 'renderer' and 'renderer' in tree:
+            img = normalize_zero1(ens.renderer.apply(tree['renderer'], placed))
+        else:
+            img = alpha_composite(normalize_zero1(placed))
+        return placed, img
+
+    for seed in seeds:
+        print(f'Generating image for seed {seed} ...')
+        z = jnp.asarray(np.random.RandomState(seed).randn(1, cfg.z_dim),
+                        dtype=jnp.float32)
+        placed, img = sample(z, jax.random.PRNGKey(seed))
+        rgba = (np.clip(np.asarray(img[0]), 0, 1) * 255 + 0.5).astype(np.uint8)
+        Image.fromarray(rgba, 'RGBA').save(f'{outdir}/seed{seed:04d}.png')
+        if save_layers:
+            layers01 = (np.clip(np.asarray(placed[0]), -1, 1) + 1) / 2
+            for li, name in enumerate(cfg.layer_names):
+                l8 = (layers01[li] * 255 + 0.5).astype(np.uint8)
+                Image.fromarray(l8, 'RGBA').save(
+                    f'{outdir}/seed{seed:04d}-{li}_{name}.png')
+
+
+if __name__ == '__main__':
+    main()

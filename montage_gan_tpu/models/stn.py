@@ -28,6 +28,7 @@ class STN(nn.Module):
     img_layers: int = 9
     nf1: int = 64
     nf2: int = 64
+    num_stages: int = 5  # 5 at 256px (reference); fewer for small resolutions
     pad_value: float = -1.0  # -1 ⇔ reference STNv2c; 0 ⇔ STNv2b
 
     @nn.compact
@@ -42,8 +43,9 @@ class STN(nn.Module):
 
         # Localization net: (conv k, maxpool 2, relu) × 5, VALID padding
         # (reference: fukuwarai/networks.py:169-189).
-        widths = (self.nf1, self.nf1 * 2, self.nf1 * 4, self.nf1 * 6, self.nf1 * 8)
-        kernels = (7, 5, 3, 3, 3)
+        widths = (self.nf1, self.nf1 * 2, self.nf1 * 4,
+                  self.nf1 * 6, self.nf1 * 8)[:self.num_stages]
+        kernels = (7, 5, 3, 3, 3)[:self.num_stages]
         for width, k in zip(widths, kernels):
             y = nn.Conv(width, (k, k), padding='VALID')(y)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))

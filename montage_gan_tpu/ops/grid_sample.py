@@ -37,8 +37,10 @@ def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
     xx, yy = jnp.meshgrid(x, y)  # [H, W]
     ones = jnp.ones_like(xx)
     base = jnp.stack([xx, yy, ones], axis=-1)  # [H, W, 3]
-    # grid[n, i, j, :] = theta[n] @ base[i, j]
-    grid = jnp.einsum('nab,ijb->nija', theta.astype(jnp.float32), base)
+    # grid[n, i, j, :] = theta[n] @ base[i, j] — f32 precision is required
+    # for sub-pixel alignment (TPU matmuls default to bf16 inputs).
+    grid = jnp.einsum('nab,ijb->nija', theta.astype(jnp.float32), base,
+                      precision=jax.lax.Precision.HIGHEST)
     return grid
 
 

@@ -63,6 +63,7 @@ def modulated_conv2d(x: jax.Array,
         w_sq = jnp.sum(w32 * w32, axis=(0, 1))                   # [I, O]
         s32 = styles.astype(jnp.float32)
         var = jnp.dot(s32 * s32, w_sq,
+                      precision=lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)        # [N, O]
         dcoefs = lax.rsqrt(var + 1e-8).astype(x.dtype)
         if noise is not None:

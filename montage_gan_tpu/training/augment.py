@@ -1,0 +1,454 @@
+"""ADA augmentation pipeline ("Training GANs with Limited Data"), as a pure
+jittable function.
+
+Capability parity with the reference AugmentPipe
+(reference: training/augment.py:156-482) including the MontageGAN RGBA
+modification — the color matrix applies to RGB only, alpha passes through
+(reference: training/augment.py:403-406).
+
+TPU-first differences from the reference:
+  * ``p`` is a traced scalar (on-device ADA state), the config multipliers are
+    static floats — disabled stages compile away entirely.
+  * The geometric branch uses a STATIC reflect-pad margin instead of the
+    reference's data-dependent margin (training/augment.py:311-326), which is
+    dynamic-shape-hostile.  The reference computes the margin as exactly the
+    maximum sampling reach (clamped to size-1), so any static margin ≥ that
+    reach is *equivalent*; beyond the margin both give zeros.  Default
+    ``geom_margin=None`` picks size//4 + filter support, covering all but
+    extreme joint draws (those read zeros, as the reference's clamp case
+    does).  Set geom_margin=size-1 for the exact worst-case superset.
+  * Per-sample image filters are applied with a batched depthwise separable
+    conv (vmapped), not torch's groups=B*C fold.
+
+All functions take an explicit PRNG key; transform selection matches the
+reference's probability gating exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.filters import setup_filter
+from ..ops.grid_sample import grid_sample
+from ..ops.upfirdn2d import downsample2d, upsample2d
+
+# Standard wavelet low-pass decomposition coefficients (public constants, cf.
+# Daubechies, "Ten Lectures on Wavelets"; identical values in pywt).
+WAVELETS = {
+    'haar': [0.7071067811865476, 0.7071067811865476],
+    'sym2': [-0.12940952255092145, 0.22414386804185735,
+             0.836516303737469, 0.48296291314469025],
+    'sym6': [0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+             -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+             0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+             0.04472490177066578, 0.0017677118642428036, -0.007800708325034148],
+}
+
+
+# ---------------------------------------------------------------------------
+# Batched homogeneous-matrix helpers (cf. reference training/augment.py:67-146)
+# ---------------------------------------------------------------------------
+
+def _rows(*rows):
+    """Stack rows of (possibly batched) scalars into [..., R, C] matrices."""
+    elems = [jnp.asarray(e, dtype=jnp.float32) for row in rows for e in row]
+    shape = jnp.broadcast_shapes(*[e.shape for e in elems])
+    elems = [jnp.broadcast_to(e, shape) for e in elems]
+    m = jnp.stack(elems, axis=-1)
+    return m.reshape(shape + (len(rows), len(rows[0])))
+
+
+def translate2d(tx, ty):
+    o, i = jnp.zeros_like(jnp.asarray(tx, jnp.float32)), jnp.ones_like(jnp.asarray(tx, jnp.float32))
+    return _rows([i, o, tx], [o, i, ty], [o, o, i])
+
+
+def scale2d(sx, sy):
+    sx = jnp.asarray(sx, jnp.float32)
+    sy = jnp.asarray(sy, jnp.float32)
+    o = jnp.zeros_like(sx)
+    i = jnp.ones_like(sx)
+    return _rows([sx, o, o], [o, sy, o], [o, o, i])
+
+
+def rotate2d(theta):
+    theta = jnp.asarray(theta, jnp.float32)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    o, i = jnp.zeros_like(c), jnp.ones_like(c)
+    return _rows([c, -s, o], [s, c, o], [o, o, i])
+
+
+def translate3d(tx, ty, tz):
+    tx = jnp.asarray(tx, jnp.float32)
+    o, i = jnp.zeros_like(tx), jnp.ones_like(tx)
+    return _rows([i, o, o, tx], [o, i, o, ty], [o, o, i, tz], [o, o, o, i])
+
+
+def scale3d(sx, sy, sz):
+    sx = jnp.asarray(sx, jnp.float32)
+    o, i = jnp.zeros_like(sx), jnp.ones_like(sx)
+    return _rows([sx, o, o, o], [o, sy, o, o], [o, o, sz, o], [o, o, o, i])
+
+
+def rotate3d(v, theta):
+    vx, vy, vz = v[0], v[1], v[2]
+    theta = jnp.asarray(theta, jnp.float32)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    cc = 1 - c
+    o, i = jnp.zeros_like(c), jnp.ones_like(c)
+    return _rows(
+        [vx * vx * cc + c, vx * vy * cc - vz * s, vx * vz * cc + vy * s, o],
+        [vy * vx * cc + vz * s, vy * vy * cc + c, vy * vz * cc - vx * s, o],
+        [vz * vx * cc - vy * s, vz * vy * cc + vx * s, vz * vz * cc + c, o],
+        [o, o, o, i])
+
+
+def translate2d_inv(tx, ty):
+    return translate2d(-tx, -ty)
+
+
+def scale2d_inv(sx, sy):
+    return scale2d(1.0 / sx, 1.0 / sy)
+
+
+def rotate2d_inv(theta):
+    return rotate2d(-theta)
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Probability multipliers and parameter ranges
+    (field-for-field the reference AugmentPipe ctor, training/augment.py:157-204)."""
+    xflip: float = 0.0
+    rotate90: float = 0.0
+    xint: float = 0.0
+    xint_max: float = 0.125
+    scale: float = 0.0
+    rotate: float = 0.0
+    aniso: float = 0.0
+    xfrac: float = 0.0
+    scale_std: float = 0.2
+    rotate_max: float = 1.0
+    aniso_std: float = 0.2
+    xfrac_std: float = 0.125
+    brightness: float = 0.0
+    contrast: float = 0.0
+    lumaflip: float = 0.0
+    hue: float = 0.0
+    saturation: float = 0.0
+    brightness_std: float = 0.2
+    contrast_std: float = 0.5
+    hue_max: float = 1.0
+    saturation_std: float = 1.0
+    imgfilter: float = 0.0
+    imgfilter_bands: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    imgfilter_std: float = 1.0
+    noise: float = 0.0
+    cutout: float = 0.0
+    noise_std: float = 0.1
+    cutout_size: float = 0.5
+    geom_margin: Optional[int] = None  # static reflect margin; None = auto
+
+    @property
+    def any_blit(self):
+        return self.xflip > 0 or self.rotate90 > 0 or self.xint > 0
+
+    @property
+    def any_geom(self):
+        return self.scale > 0 or self.rotate > 0 or self.aniso > 0 or self.xfrac > 0
+
+
+# The reference's augpipe presets (reference: train_aio.py:307-323).
+AUGPIPE_SPECS = {
+    'blit': dict(xflip=1, rotate90=1, xint=1),
+    'geom': dict(scale=1, rotate=1, aniso=1, xfrac=1),
+    'color': dict(brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1),
+    'filter': dict(imgfilter=1),
+    'noise': dict(noise=1),
+    'cutout': dict(cutout=1),
+    'bg': dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1),
+    'bgc': dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1),
+    'bgcf': dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                 xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                 saturation=1, imgfilter=1),
+    'bgcfn': dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                  xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                  saturation=1, imgfilter=1, noise=1),
+    'bgcfnc': dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1,
+                   xfrac=1, brightness=1, contrast=1, lumaflip=1, hue=1,
+                   saturation=1, imgfilter=1, noise=1, cutout=1),
+}
+
+
+def make_augment_config(spec: str, **overrides) -> AugmentConfig:
+    return AugmentConfig(**{**AUGPIPE_SPECS[spec], **overrides})
+
+
+def _make_fbank() -> np.ndarray:
+    """4-band filter bank from sym2 (reference: training/augment.py:210-219)."""
+    hz_lo = np.asarray(WAVELETS['sym2'])
+    hz_hi = hz_lo * ((-1) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2
+    fbank = np.eye(4, 1)
+    for i in range(1, fbank.shape[0]):
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(fbank.shape[0], -1)[:, :-1]
+        fbank = np.stack([np.convolve(row, hz_lo2) for row in fbank])
+        fbank[i, (fbank.shape[1] - hz_hi2.size) // 2:
+                 (fbank.shape[1] + hz_hi2.size) // 2] += hz_hi2
+    return fbank.astype(np.float32)
+
+
+_HZ_FBANK = _make_fbank()
+_HZ_GEOM = setup_filter(WAVELETS['sym6'])
+
+
+# ---------------------------------------------------------------------------
+# The pipeline
+# ---------------------------------------------------------------------------
+
+def augment_pipe(images: jax.Array,
+                 p: jax.Array,
+                 key: jax.Array,
+                 cfg: AugmentConfig,
+                 debug_percentile: Optional[float] = None) -> jax.Array:
+    """Apply the ADA pipeline to NHWC images with overall probability ``p``.
+
+    ``p`` may be a traced scalar; ``cfg`` is static.  ``debug_percentile``
+    (static float) replaces all random draws with fixed quantiles for
+    deterministic testing (reference: training/augment.py:225-226 etc.).
+    """
+    # The 3×3/4×4 transform chains are numerically load-bearing (sub-pixel
+    # alignment); force f32 matmuls — on TPU the default would be bf16.
+    with jax.default_matmul_precision('float32'):
+        return _augment_pipe(images, p, key, cfg, debug_percentile)
+
+
+def _augment_pipe(images, p, key, cfg, debug_percentile):
+    batch, height, width, num_channels = images.shape
+    import itertools
+    _counter = itertools.count()
+    keys = iter(jax.random.fold_in(key, i) for i in _counter)
+    dp = debug_percentile
+
+    def gate(k, prob, value, identity):
+        take = jax.random.uniform(k, [batch]) < prob
+        return jnp.where(take.reshape([-1] + [1] * (value.ndim - 1)), value, identity)
+
+    # ----------------------- pixel blitting + geometric ------------------
+    G_inv = jnp.tile(jnp.eye(3, dtype=jnp.float32), (batch, 1, 1))
+    have_geom = cfg.any_blit or cfg.any_geom
+
+    if cfg.xflip > 0:
+        i = jnp.floor(jax.random.uniform(next(keys), [batch]) * 2)
+        i = gate(next(keys), cfg.xflip * p, i, jnp.zeros_like(i))
+        if dp is not None:
+            i = jnp.full_like(i, np.floor(dp * 2))
+        G_inv = G_inv @ scale2d_inv(1 - 2 * i, jnp.ones_like(i))
+    if cfg.rotate90 > 0:
+        i = jnp.floor(jax.random.uniform(next(keys), [batch]) * 4)
+        i = gate(next(keys), cfg.rotate90 * p, i, jnp.zeros_like(i))
+        if dp is not None:
+            i = jnp.full_like(i, np.floor(dp * 4))
+        G_inv = G_inv @ rotate2d_inv(-np.pi / 2 * i)
+    if cfg.xint > 0:
+        t = (jax.random.uniform(next(keys), [batch, 2]) * 2 - 1) * cfg.xint_max
+        t = gate(next(keys), cfg.xint * p, t, jnp.zeros_like(t))
+        if dp is not None:
+            t = jnp.full_like(t, (dp * 2 - 1) * cfg.xint_max)
+        G_inv = G_inv @ translate2d_inv(jnp.round(t[:, 0] * width),
+                                        jnp.round(t[:, 1] * height))
+    if cfg.scale > 0:
+        s = jnp.exp2(jax.random.normal(next(keys), [batch]) * cfg.scale_std)
+        s = gate(next(keys), cfg.scale * p, s, jnp.ones_like(s))
+        if dp is not None:
+            s = jnp.full_like(s, np.exp2(_erfinv(dp * 2 - 1) * cfg.scale_std))
+        G_inv = G_inv @ scale2d_inv(s, s)
+    p_rot = 1 - jnp.sqrt(jnp.clip(1 - cfg.rotate * p, 0, 1))
+    if cfg.rotate > 0:
+        theta = ((jax.random.uniform(next(keys), [batch]) * 2 - 1)
+                 * np.pi * cfg.rotate_max)
+        theta = gate(next(keys), p_rot, theta, jnp.zeros_like(theta))
+        if dp is not None:
+            theta = jnp.full_like(theta, (dp * 2 - 1) * np.pi * cfg.rotate_max)
+        G_inv = G_inv @ rotate2d_inv(-theta)
+    if cfg.aniso > 0:
+        s = jnp.exp2(jax.random.normal(next(keys), [batch]) * cfg.aniso_std)
+        s = gate(next(keys), cfg.aniso * p, s, jnp.ones_like(s))
+        if dp is not None:
+            s = jnp.full_like(s, np.exp2(_erfinv(dp * 2 - 1) * cfg.aniso_std))
+        G_inv = G_inv @ scale2d_inv(s, 1 / s)
+    if cfg.rotate > 0:
+        theta = ((jax.random.uniform(next(keys), [batch]) * 2 - 1)
+                 * np.pi * cfg.rotate_max)
+        theta = gate(next(keys), p_rot, theta, jnp.zeros_like(theta))
+        if dp is not None:
+            theta = jnp.zeros_like(theta)
+        G_inv = G_inv @ rotate2d_inv(-theta)
+    if cfg.xfrac > 0:
+        t = jax.random.normal(next(keys), [batch, 2]) * cfg.xfrac_std
+        t = gate(next(keys), cfg.xfrac * p, t, jnp.zeros_like(t))
+        if dp is not None:
+            t = jnp.full_like(t, _erfinv(dp * 2 - 1) * cfg.xfrac_std)
+        G_inv = G_inv @ translate2d_inv(t[:, 0] * width, t[:, 1] * height)
+
+    if have_geom:
+        hz_pad = _HZ_GEOM.shape[0] // 4
+        m = cfg.geom_margin
+        if m is None:
+            m = min(width // 4 + hz_pad * 2, width - 1)
+        # reflect-pad (symmetric static margin ⇒ no origin shift) and ×2 upsample
+        x = jnp.pad(images, [(0, 0), (m, m), (m, m), (0, 0)], mode='reflect')
+        x = upsample2d(x, _HZ_GEOM, up=2)
+        G = scale2d(2.0, 2.0)[None] @ G_inv @ scale2d_inv(2.0, 2.0)[None]
+        G = translate2d(-0.5, -0.5)[None] @ G @ translate2d_inv(-0.5, -0.5)[None]
+        G = G.reshape(batch, 3, 3)
+        # output grid over the (unpadded-size + filter support) ×2 canvas
+        out_h, out_w = (height + hz_pad * 2) * 2, (width + hz_pad * 2) * 2
+        in_h, in_w = x.shape[1], x.shape[2]
+        G = (scale2d(2.0 / in_w, 2.0 / in_h).reshape(1, 3, 3) @ G
+             @ scale2d_inv(2.0 / out_w, 2.0 / out_h).reshape(1, 3, 3))
+        from ..ops.grid_sample import affine_grid
+        grid = affine_grid(G[:, :2, :], out_h, out_w)
+        x = grid_sample(x, grid)
+        images = downsample2d(x, _HZ_GEOM, down=2, padding=-hz_pad * 2,
+                              flip_filter=True)
+
+    # ------------------------------ color --------------------------------
+    have_color = (cfg.brightness > 0 or cfg.contrast > 0 or cfg.lumaflip > 0
+                  or cfg.hue > 0 or cfg.saturation > 0)
+    if have_color:
+        I4 = jnp.eye(4, dtype=jnp.float32)
+        C = jnp.tile(I4, (batch, 1, 1))
+        if cfg.brightness > 0:
+            b = jax.random.normal(next(keys), [batch]) * cfg.brightness_std
+            b = gate(next(keys), cfg.brightness * p, b, jnp.zeros_like(b))
+            if dp is not None:
+                b = jnp.full_like(b, _erfinv(dp * 2 - 1) * cfg.brightness_std)
+            C = translate3d(b, b, b) @ C
+        if cfg.contrast > 0:
+            c = jnp.exp2(jax.random.normal(next(keys), [batch]) * cfg.contrast_std)
+            c = gate(next(keys), cfg.contrast * p, c, jnp.ones_like(c))
+            if dp is not None:
+                c = jnp.full_like(c, np.exp2(_erfinv(dp * 2 - 1) * cfg.contrast_std))
+            C = scale3d(c, c, c) @ C
+        v = np.asarray([1, 1, 1, 0], dtype=np.float32) / np.sqrt(3)
+        vv = jnp.asarray(np.outer(v, v))
+        if cfg.lumaflip > 0:
+            i = jnp.floor(jax.random.uniform(next(keys), [batch, 1, 1]) * 2)
+            i = gate(next(keys), cfg.lumaflip * p, i, jnp.zeros_like(i))
+            if dp is not None:
+                i = jnp.full_like(i, np.floor(dp * 2))
+            C = (I4[None] - 2 * vv[None] * i) @ C  # Householder reflection
+        if cfg.hue > 0 and num_channels > 1:
+            theta = (jax.random.uniform(next(keys), [batch]) * 2 - 1) * np.pi * cfg.hue_max
+            theta = gate(next(keys), cfg.hue * p, theta, jnp.zeros_like(theta))
+            if dp is not None:
+                theta = jnp.full_like(theta, (dp * 2 - 1) * np.pi * cfg.hue_max)
+            C = rotate3d(v, theta) @ C
+        if cfg.saturation > 0 and num_channels > 1:
+            s = jnp.exp2(jax.random.normal(next(keys), [batch, 1, 1]) * cfg.saturation_std)
+            s = gate(next(keys), cfg.saturation * p, s, jnp.ones_like(s))
+            if dp is not None:
+                s = jnp.full_like(s, np.exp2(_erfinv(dp * 2 - 1) * cfg.saturation_std))
+            C = (vv[None] + (I4[None] - vv[None]) * s) @ C
+
+        flat = images.reshape(batch, height * width, num_channels)
+        if num_channels == 4:
+            # RGBA: matrix on RGB only, alpha passthrough
+            # (MontageGAN modification, reference training/augment.py:403-406)
+            rgb = jnp.einsum('nab,npb->npa', C[:, :3, :3], flat[..., :3]) \
+                + C[:, None, :3, 3]
+            flat = jnp.concatenate([rgb, flat[..., 3:]], axis=-1)
+        elif num_channels == 3:
+            flat = jnp.einsum('nab,npb->npa', C[:, :3, :3], flat) + C[:, None, :3, 3]
+        elif num_channels == 1:
+            Cm = jnp.mean(C[:, :3, :], axis=1, keepdims=True)  # [B,1,4]
+            flat = flat * jnp.sum(Cm[:, :, :3], axis=2, keepdims=True) + Cm[:, :, 3:]
+        else:
+            raise ValueError('images must have 1, 3, or 4 channels')
+        images = flat.reshape(batch, height, width, num_channels)
+
+    # -------------------------- image-space filtering --------------------
+    if cfg.imgfilter > 0:
+        num_bands = _HZ_FBANK.shape[0]
+        assert len(cfg.imgfilter_bands) == num_bands
+        expected_power = np.array([10, 1, 1, 1], dtype=np.float32) / 13
+
+        g = jnp.ones([batch, num_bands])
+        for i, band_strength in enumerate(cfg.imgfilter_bands):
+            t_i = jnp.exp2(jax.random.normal(next(keys), [batch]) * cfg.imgfilter_std)
+            t_i = gate(next(keys), cfg.imgfilter * p * band_strength,
+                       t_i, jnp.ones_like(t_i))
+            if dp is not None:
+                t_i = (jnp.full_like(t_i, np.exp2(_erfinv(dp * 2 - 1) * cfg.imgfilter_std))
+                       if band_strength > 0 else jnp.ones_like(t_i))
+            t = jnp.ones([batch, num_bands]).at[:, i].set(t_i)
+            # normalize overall power (reference: training/augment.py:437)
+            t = t / jnp.sqrt(jnp.sum(expected_power[None] * jnp.square(t),
+                                     axis=-1, keepdims=True))
+            g = g * t
+
+        hz_prime = g @ jnp.asarray(_HZ_FBANK)  # [B, taps]
+        taps = _HZ_FBANK.shape[1]
+        pad = taps // 2
+        x = jnp.pad(images, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+                    mode='reflect')
+
+        def filt_one(img, f1d):
+            # depthwise separable correlation with a per-sample 1-D filter
+            kx = jnp.tile(f1d[None, :, None, None], (1, 1, 1, num_channels))
+            ky = jnp.tile(f1d[:, None, None, None], (1, 1, 1, num_channels))
+            y = lax.conv_general_dilated(img[None], kx, (1, 1), 'VALID',
+                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                         feature_group_count=num_channels)
+            y = lax.conv_general_dilated(y, ky, (1, 1), 'VALID',
+                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                                         feature_group_count=num_channels)
+            return y[0]
+
+        images = jax.vmap(filt_one)(x, hz_prime)
+
+    # -------------------------- corruptions ------------------------------
+    if cfg.noise > 0:
+        sigma = jnp.abs(jax.random.normal(next(keys), [batch, 1, 1, 1])) * cfg.noise_std
+        sigma = gate(next(keys), cfg.noise * p, sigma, jnp.zeros_like(sigma))
+        if dp is not None:
+            sigma = jnp.full_like(sigma, _erfinv(dp) * cfg.noise_std)
+        images = images + jax.random.normal(
+            next(keys), (batch, height, width, num_channels)) * sigma
+
+    if cfg.cutout > 0:
+        size = jnp.full([batch, 2], cfg.cutout_size)
+        keep = jax.random.uniform(next(keys), [batch, 1]) < cfg.cutout * p
+        size = jnp.where(keep, size, jnp.zeros_like(size))
+        center = jax.random.uniform(next(keys), [batch, 2])
+        if dp is not None:
+            size = jnp.full_like(size, cfg.cutout_size)
+            center = jnp.full_like(center, dp)
+        coord_x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+        coord_y = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+        mask_x = (jnp.abs(coord_x[None, None, :] - center[:, 0, None, None])
+                  >= size[:, 0, None, None] / 2)
+        mask_y = (jnp.abs(coord_y[None, :, None] - center[:, 1, None, None])
+                  >= size[:, 1, None, None] / 2)
+        mask = jnp.logical_or(mask_x, mask_y).astype(images.dtype)
+        images = images * mask[..., None]
+
+    return images
+
+
+def _erfinv(x: float) -> float:
+    from scipy.special import erfinv as _e  # only used for debug percentiles
+    return float(_e(x))

@@ -1,0 +1,272 @@
+"""Host-side all-in-one training loop.
+
+The orchestration analogue of the reference's training_loop
+(reference: custom/training_loop_aio.py:131-896): dataset + infinite sampler,
+the (single, jitted) train step over a data mesh, per-tick status/stat sinks,
+image + network snapshots, EMA sampling, abort/progress callbacks, resume.
+
+All compute is in the jitted step (training/train_step.py); this file only
+moves numpy batches, prints, and saves files.  Host-side batch prep
+(per-layer centered crops, reference image_utils.py:246-266) runs in a
+prefetch thread so the device never waits on PIL/numpy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import DatasetAIO
+from ..data.sampler import InfiniteSampler
+from ..models.ensemble import MontageConfig, MontageEnsemble
+from ..parallel.mesh import (make_mesh, make_parallel_train_step, replicate,
+                             shard_batch)
+from ..utils import checkpoint as ckpt
+from ..utils.grid import save_image_grid
+from ..utils.image_utils import (alpha_composite_np, make_batch_for_local_d_np,
+                                 normalize_zero1)
+from ..utils.logging_utils import format_time
+from ..utils.training_stats import (Collector, JsonlWriter, StatsAccumulator,
+                                    make_tensorboard_writer)
+from .train_step import MontageTrainer, MontageTrainState, TrainHyper
+
+
+class BatchPrefetcher:
+    """Background thread producing (stack[-1,1], crops[-1,1]) numpy batches."""
+
+    def __init__(self, dataset: DatasetAIO, batch_size: int,
+                 layer_targets, seed: int = 0, rank: int = 0,
+                 num_replicas: int = 1, depth: int = 3):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.layer_targets = [list(t) for t in layer_targets]
+        self.sampler = iter(InfiniteSampler(len(dataset), rank=rank,
+                                            num_replicas=num_replicas,
+                                            seed=seed))
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = False
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        while not self._stop:
+            idxs = [next(self.sampler) for _ in range(self.batch_size)]
+            stack01 = np.stack([self.dataset[i] for i in idxs])  # [B,L,H,W,4]
+            crops = make_batch_for_local_d_np(stack01, self.layer_targets,
+                                              to_minus11=True)
+            self.q.put((stack01 * 2.0 - 1.0, tuple(crops)))
+
+    def next(self):
+        return self.q.get()
+
+    def stop(self):
+        self._stop = True
+        try:
+            self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def config_from_dataset(dataset: DatasetAIO, **overrides) -> MontageConfig:
+    """Derive the ensemble config from dataset statistics
+    (reference: custom/training_loop_aio.py:251-297)."""
+    kwargs = dict(
+        layer_names=tuple(dataset.layer_names),
+        layer_targets=dataset.layer_targets,
+        base_resolution=dataset.resolution,
+        img_channels=dataset.num_channels,
+        conv_config_index=dataset.conv_config_index,
+    )
+    kwargs.update(overrides)
+    return MontageConfig(**kwargs)
+
+
+def training_loop(
+        run_dir: str,
+        dataset: DatasetAIO,
+        cfg: Optional[MontageConfig] = None,
+        hyper: Optional[TrainHyper] = None,
+        total_kimg: int = 25000,
+        kimg_per_tick: int = 4,
+        image_snapshot_ticks: Optional[int] = 1,
+        network_snapshot_ticks: Optional[int] = 50,
+        random_seed: int = 0,
+        resume_path: Optional[str] = None,
+        resume_kimg: float = 0.0,
+        num_devices: Optional[int] = None,
+        metrics: Optional[List[str]] = None,
+        metric_fn: Optional[Callable] = None,
+        abort_fn: Optional[Callable[[], bool]] = None,
+        progress_fn: Optional[Callable[[int, int], None]] = None,
+        run_once: bool = False,
+):
+    os.makedirs(run_dir, exist_ok=True)
+    if cfg is None:
+        cfg = config_from_dataset(dataset)
+    if hyper is None:
+        hyper = TrainHyper()
+    metrics = metrics or []
+
+    with open(os.path.join(run_dir, 'montage_gan_options.json'), 'w') as f:
+        json.dump({'config': str(cfg), 'hyper': str(hyper)}, f, indent=2)
+
+    ens = MontageEnsemble(cfg)
+    trainer = MontageTrainer(ens, hyper)
+
+    mesh = make_mesh(num_devices)
+    n_dev = mesh.devices.size
+    assert hyper.batch_size % n_dev == 0, \
+        f"batch {hyper.batch_size} must divide over {n_dev} devices"
+
+    print(f'Constructing state ({cfg.num_layers} layers, base '
+          f'{cfg.base_resolution}px, {n_dev} device(s))...')
+    state = trainer.init_state(jax.random.PRNGKey(random_seed),
+                               batch=hyper.batch_size)
+    if resume_path is not None:
+        print(f'Resuming from "{resume_path}"')
+        state = ckpt.restore_train_state(resume_path, state)
+    state = replicate(mesh, state)
+    step_fn = make_parallel_train_step(trainer, mesh)
+
+    prefetcher = BatchPrefetcher(dataset, hyper.batch_size,
+                                 cfg.layer_targets, seed=random_seed)
+
+    # reals preview + fixed grid z (reference: training_loop_aio.py:521-534)
+    grid_size = min(32, hyper.batch_size)
+    grid_z = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(random_seed + 1),
+                          (grid_size, cfg.z_dim)))
+    preview = np.stack([dataset[i % len(dataset)] for i in range(grid_size)])
+    save_image_grid(alpha_composite_np(preview),
+                    os.path.join(run_dir, 'reals.png'), nrow=8)
+
+    sample_fn = jax.jit(lambda variables, z: ens.run_global_g(
+        variables, z, noise_mode='const')[0]) if cfg.train_global else \
+        jax.jit(lambda variables, z: ens.synthesize_layers(
+            variables, ens.mapping.apply(variables['mapping'], z),
+            noise_mode='const'))
+
+    acc = StatsAccumulator()
+    collector = Collector(acc)
+    jsonl = JsonlWriter(os.path.join(run_dir, 'stats.jsonl'))
+    tb = make_tensorboard_writer(run_dir)
+
+    cur_nimg = int(resume_kimg * 1000)
+    cur_tick = 0
+    tick_start_nimg = cur_nimg
+    start_time = time.time()
+    tick_start_time = start_time
+    maintenance_time = 0.0
+    done = False
+    print(f'Training for {total_kimg} kimg...')
+
+    while True:
+        # ---- one training iteration -----------------------------------
+        t0 = time.time()
+        stack_np, crops_np = prefetcher.next()
+        stack = shard_batch(mesh, jnp.asarray(stack_np))
+        crops = shard_batch(mesh, tuple(jnp.asarray(c) for c in crops_np))
+        acc.report('Timing/data_fetch', time.time() - t0)
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(random_seed + 2),
+                                 cur_nimg)
+        state, stats = step_fn(state, stack, crops, replicate(mesh, rng))
+        cur_nimg += hyper.batch_size
+
+        # host-side stats sink (device→host copy once per step)
+        acc.report_dict({k: np.asarray(v) for k, v in stats.items()})
+
+        done = cur_nimg >= total_kimg * 1000
+        if (not done) and (cur_tick != 0) \
+                and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
+            continue
+
+        # ---- per-tick maintenance --------------------------------------
+        tick_end_time = time.time()
+        fields = [f"tick {cur_tick:<5d}", f"kimg {cur_nimg / 1e3:<8.1f}",
+                  f"time {format_time(tick_end_time - start_time):<12s}",
+                  f"sec/tick {tick_end_time - tick_start_time:<7.1f}",
+                  f"sec/kimg "
+                  f"{(tick_end_time - tick_start_time) / max(cur_nimg - tick_start_nimg, 1) * 1e3:<7.2f}",
+                  f"maintenance {maintenance_time:<6.1f}"]
+        acc.report('Progress/tick', cur_tick)
+        acc.report('Progress/kimg', cur_nimg / 1e3)
+        acc.report('Timing/total_sec', tick_end_time - start_time)
+        acc.report('Timing/sec_per_tick', tick_end_time - tick_start_time)
+        acc.report('Timing/sec_per_kimg',
+                   (tick_end_time - tick_start_time)
+                   / max(cur_nimg - tick_start_nimg, 1) * 1e3)
+        print(' '.join(fields))
+
+        if (not done) and (abort_fn is not None) and abort_fn():
+            done = True
+            print('Aborting...')
+
+        # image snapshot (EMA samples, reference :750-766)
+        if image_snapshot_ticks is not None and \
+                (done or cur_tick % image_snapshot_ticks == 0):
+            host_state = jax.device_get(state)
+            ema_vars = dict(host_state.ema)
+            if cfg.train_global:
+                ema_vars['stn'] = host_state.ema['stn']
+            batch = np.asarray(sample_fn(ema_vars, jnp.asarray(grid_z)))
+            batch = np.clip(batch, -1, 1)
+            batch01 = (batch + 1) / 2
+            b, l, h, w, c = batch01.shape
+            save_image_grid(batch01.reshape(b * l, h, w, c)[:4 * l],
+                            os.path.join(run_dir,
+                                         f'fakes-layer{cur_nimg // 1000:06d}.png'),
+                            nrow=l)
+            save_image_grid(alpha_composite_np(batch01),
+                            os.path.join(run_dir,
+                                         f'fakes{cur_nimg // 1000:06d}.png'),
+                            nrow=8)
+
+        # network snapshot
+        snapshot_path = None
+        if network_snapshot_ticks is not None and \
+                (done or cur_tick % network_snapshot_ticks == 0):
+            host_state = jax.device_get(state)
+            snapshot_path = ckpt.save_train_state(run_dir, cur_nimg // 1000,
+                                                  host_state)
+            ema_tree = dict(host_state.ema)
+            renderer_vars = host_state.variables.get('renderer')
+            ckpt.save_ema_snapshot(
+                os.path.join(run_dir, f'ema-snapshot-{cur_nimg // 1000:06d}'),
+                cfg, ema_tree, renderer_vars)
+
+        # metrics
+        if metric_fn is not None and metrics and snapshot_path is not None:
+            for metric in metrics:
+                result = metric_fn(metric, state, ens, dataset, run_dir)
+                if result is not None:
+                    acc.report_dict(result)
+
+        collector.update()
+        jsonl.write(collector.as_dict(), timestamp=time.time())
+        if tb is not None:
+            for name, v in collector.as_dict().items():
+                tb.add_scalar(name, v.mean, global_step=int(cur_nimg / 1e3))
+            tb.flush()
+        if progress_fn is not None:
+            progress_fn(cur_nimg // 1000, total_kimg)
+
+        cur_tick += 1
+        tick_start_nimg = cur_nimg
+        tick_start_time = time.time()
+        maintenance_time = tick_start_time - tick_end_time
+        if done or run_once:
+            break
+
+    prefetcher.stop()
+    jsonl.close()
+    print('Exiting...')
+    return jax.device_get(state)

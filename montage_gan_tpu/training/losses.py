@@ -1,0 +1,363 @@
+"""Loss functions for local and global GAN training.
+
+Functional re-expression of the reference's StyleGAN2Loss / MontageGANLoss
+(reference: custom/loss_aio.py:18-372).  Each phase is a pure
+``loss(diff_params, …) → (scalar, aux)`` suitable for jax.grad inside one
+jitted train step; the reference's "phase" objects with .backward() calls
+(custom/training_loop_aio.py:609-638) become explicit grad computations.
+
+Key contract points preserved:
+  * non-saturating softplus logistic losses (loss_aio.py:110,147,163);
+  * style mixing with random cutoff, prob 0.9, GlobalMappingNetwork-aware
+    (loss_aio.py:69-82) — expressed as a mask instead of a dynamic slice;
+  * path-length regularization on a shrunk batch with weight gradients
+    stopped inside the inner grad (the no_weight_gradients contract,
+    loss_aio.py:115-137) and pl_mean as explicit state;
+  * R1 on reals differentiated through the augmentation pipe
+    (loss_aio.py:151-179);
+  * theta-constraint penalty on STN translations outside [-1,1]
+    (loss_aio.py:182-188);
+  * renderer self-supervision against the (differentiable) composite
+    (loss_aio.py:343-372) — the PIL CPU round-trip is eliminated; the target
+    is the exact straight-alpha composite with stop_gradient.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ensemble import MontageEnsemble
+from ..ops.composite import alpha_composite
+from ..ops.grid_sample import translate_to_theta
+from ..utils.image_utils import (calc_psnr, make_batch_for_pos_estimator,
+                                 normalize_minus11, normalize_zero1)
+from .augment import AugmentConfig, augment_pipe
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+# ---------------------------------------------------------------------------
+# Shared forward helpers
+# ---------------------------------------------------------------------------
+
+def run_mapping_with_mixing(ens: MontageEnsemble,
+                            mapping_vars: Dict[str, Any],
+                            z: jax.Array,
+                            rng: jax.Array,
+                            style_mixing_prob: float,
+                            update_w_avg: bool = True):
+    """z → ws with style mixing (reference: custom/loss_aio.py:67-82).
+
+    Returns (ws, new_moving_stats).  The dynamic cutoff slice becomes a mask
+    over the num_ws axis (TPU-friendly, no data-dependent shapes)."""
+    out, mut = ens.mapping.apply(mapping_vars, z, update_w_avg=update_w_avg,
+                                 mutable=['moving_stats'])
+    ws = out
+    if style_mixing_prob > 0:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        num_ws = ws.shape[-2]
+        cutoff = jax.random.randint(k1, (), 1, num_ws)
+        apply_mix = jax.random.uniform(k2) < style_mixing_prob
+        cutoff = jnp.where(apply_mix, cutoff, num_ws)
+        z2 = jax.random.normal(k3, z.shape, dtype=z.dtype)
+        ws2 = ens.mapping.apply({**mapping_vars,
+                                 'moving_stats': mut['moving_stats']},
+                                z2, update_w_avg=False)
+        idx = jnp.arange(num_ws)
+        mask = (idx >= cutoff).reshape((1,) * (ws.ndim - 2) + (num_ws, 1))
+        ws = jnp.where(mask, ws2, ws)
+    return ws, mut['moving_stats']
+
+
+def run_local_g(ens: MontageEnsemble, layer_idx: int,
+                mapping_vars, g_vars, z, rng,
+                style_mixing_prob: float, update_w_avg: bool = True):
+    """run_G for one layer (reference: custom/loss_aio.py:50-87).
+    Returns (img, ws_for_layer, new_moving_stats)."""
+    k_mix, k_noise = jax.random.split(rng)
+    ws, new_stats = run_mapping_with_mixing(ens, mapping_vars, z, k_mix,
+                                            style_mixing_prob, update_w_avg)
+    ws_l = ens.ws_for_layer(ws, layer_idx)
+    img = ens.local_gs[layer_idx].apply(g_vars, ws_l, noise_mode='random',
+                                        rngs={'noise': k_noise})
+    return img, ws_l, new_stats
+
+
+def run_d(ens_d, d_vars, img, aug_cfg: Optional[AugmentConfig],
+          aug_p, rng):
+    """AugmentPipe → D (reference: custom/loss_aio.py:89-94)."""
+    if aug_cfg is not None:
+        img = augment_pipe(img, aug_p, rng, aug_cfg)
+    return ens_d.apply(d_vars, img)
+
+
+# ---------------------------------------------------------------------------
+# Local-GAN phase losses (reference: custom/loss_aio.py:96-179)
+# ---------------------------------------------------------------------------
+
+def local_gmain_loss(diff, ens: MontageEnsemble, layer_idx: int,
+                     frozen_d_vars, z, rng, aug_cfg, aug_p,
+                     style_mixing_prob=0.9):
+    """diff = {'mapping': mapping variables, 'g': local G variables}."""
+    k_g, k_aug = jax.random.split(rng)
+    img, _, new_stats = run_local_g(ens, layer_idx, diff['mapping'], diff['g'],
+                                    z, k_g, style_mixing_prob)
+    logits = run_d(ens.local_ds[layer_idx], frozen_d_vars, img,
+                   aug_cfg, aug_p, k_aug)
+    loss = jnp.mean(softplus(-logits))
+    aux = {'moving_stats': new_stats,
+           'stats': {'Loss/scores/fake': jnp.mean(logits),
+                     'Loss/signs/fake': jnp.mean(jnp.sign(logits)),
+                     'Loss/G/loss': loss}}
+    return loss, aux
+
+
+def local_gpl_loss(diff, ens: MontageEnsemble, layer_idx: int,
+                   z, rng, pl_mean, pl_batch_shrink=2, pl_decay=0.01,
+                   pl_weight=2.0, style_mixing_prob=0.9):
+    """Path-length regularizer (reference: custom/loss_aio.py:115-137).
+    Differentiates G w.r.t. ws with weights stopped (no_weight_gradients),
+    then penalizes ‖∇‖ deviation from the running mean."""
+    batch = z.shape[0] // pl_batch_shrink
+    z = z[:batch]
+    k_mix, k_noise, k_pl = jax.random.split(rng, 3)
+    ws, new_stats = run_mapping_with_mixing(ens, diff['mapping'], z, k_mix,
+                                            style_mixing_prob)
+    ws_l = ens.ws_for_layer(ws, layer_idx)
+
+    th, tw = ens.cfg.layer_targets[layer_idx]
+    pl_noise = (jax.random.normal(k_pl, (batch, th, tw, ens.cfg.img_channels))
+                / math.sqrt(th * tw))
+
+    # Inner grad w.r.t. ws.  diff['g'] is closed over WITHOUT stop_gradient:
+    # the outer grad differentiates pl_penalty through this inner grad, which
+    # is how the reference's create_graph=True double-backward reaches the
+    # generator weights (the reference's no_weight_gradients only skips the
+    # *inner* weight-grad computation as a speed optimization — JAX never
+    # computes unused cotangents in the first place).
+    def inner(ws_in):
+        img = ens.local_gs[layer_idx].apply(diff['g'], ws_in,
+                                            noise_mode='random',
+                                            rngs={'noise': k_noise})
+        return jnp.sum(img * pl_noise)
+
+    pl_grads = jax.grad(inner)(ws_l)
+    pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+    new_pl_mean = pl_mean + pl_decay * (jnp.mean(pl_lengths) - pl_mean)
+    pl_penalty = jnp.square(pl_lengths - jax.lax.stop_gradient(new_pl_mean))
+    loss = jnp.mean(pl_penalty) * pl_weight
+    aux = {'moving_stats': new_stats,
+           'pl_mean': jax.lax.stop_gradient(new_pl_mean),
+           'stats': {'Loss/pl_penalty': jnp.mean(pl_penalty),
+                     'Loss/G/reg': loss}}
+    return loss, aux
+
+
+def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, layer_idx: int,
+                     frozen, z, real_img, rng, aug_cfg, aug_p,
+                     style_mixing_prob=0.9):
+    """Dgen + Dreal (reference: custom/loss_aio.py:139-164).
+    frozen = {'mapping', 'g'} variables (no grads)."""
+    k_g, k_aug1, k_aug2 = jax.random.split(rng, 3)
+    gen_img, _, new_stats = run_local_g(ens, layer_idx, frozen['mapping'],
+                                        frozen['g'], z, k_g,
+                                        style_mixing_prob)
+    gen_img = jax.lax.stop_gradient(gen_img)
+    gen_logits = run_d(ens.local_ds[layer_idx], diff_d_vars, gen_img,
+                       aug_cfg, aug_p, k_aug1)
+    real_logits = run_d(ens.local_ds[layer_idx], diff_d_vars, real_img,
+                        aug_cfg, aug_p, k_aug2)
+    loss_dgen = jnp.mean(softplus(gen_logits))
+    loss_dreal = jnp.mean(softplus(-real_logits))
+    aux = {'moving_stats': new_stats,
+           'stats': {'Loss/scores/fake': jnp.mean(gen_logits),
+                     'Loss/signs/fake': jnp.mean(jnp.sign(gen_logits)),
+                     'Loss/scores/real': jnp.mean(real_logits),
+                     'Loss/signs/real': jnp.mean(jnp.sign(real_logits)),
+                     'Loss/D/loss': loss_dgen + loss_dreal},
+           'sign_real': jnp.mean(jnp.sign(real_logits))}
+    return loss_dgen + loss_dreal, aux
+
+
+def local_dr1_loss(diff_d_vars, ens: MontageEnsemble, layer_idx: int,
+                   real_img, rng, aug_cfg, aug_p, r1_gamma=10.0):
+    """R1 penalty (reference: custom/loss_aio.py:151-179).  The gradient is
+    taken w.r.t. the real image THROUGH the augmentation pipe; the outer grad
+    reaches D's weights through this inner grad (double backward), exactly as
+    the reference's create_graph=True does."""
+
+    def d_sum(img):
+        logits = run_d(ens.local_ds[layer_idx], diff_d_vars, img,
+                       aug_cfg, aug_p, rng)
+        return jnp.sum(logits), logits
+
+    r1_grads, real_logits = jax.grad(d_sum, has_aux=True)(real_img)
+    r1_penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
+    loss = jnp.mean(r1_penalty) * (r1_gamma / 2)
+    aux = {'stats': {'Loss/r1_penalty': jnp.mean(r1_penalty),
+                     'Loss/D/reg': loss},
+           'sign_real': jnp.mean(jnp.sign(real_logits))}
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# Global phases (reference: custom/loss_aio.py:191-341)
+# ---------------------------------------------------------------------------
+
+def theta_constrain_loss(theta: jax.Array) -> jax.Array:
+    """L2 norm of theta outside the [-1, 1] translation box
+    (reference: custom/loss_aio.py:182-188)."""
+    l = theta.shape[-3]
+    ones = jnp.ones((l, 2))
+    upper = translate_to_theta(ones)
+    lower = translate_to_theta(-ones)
+    clamped = jnp.maximum(jnp.minimum(theta, upper), lower)
+    return jnp.sqrt(jnp.sum(jnp.square(theta - clamped)) + 1e-20)
+
+
+def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
+                      style_mixing_prob):
+    """run_global_G (reference: custom/loss_aio.py:238-243).
+    diff = {'mapping', 'local_g': tuple, 'stn'} variables."""
+    k_mix, k_noise, k_stn = jax.random.split(rng, 3)
+    outs = []
+    new_stats = None
+    for i in range(ens.cfg.num_layers):
+        k_i = jax.random.fold_in(k_mix, i)
+        img, _, stats_i = run_local_g(ens, i, diff['mapping'],
+                                      diff['local_g'][i], z,
+                                      jax.random.fold_in(k_noise, i),
+                                      style_mixing_prob)
+        # mirror the reference: every per-layer run_G updates w_avg; keep last
+        new_stats = stats_i
+        outs.append(img)
+    stack = make_batch_for_pos_estimator(outs, ens.cfg.base_resolution,
+                                         pad_value=-1.0)
+    placed, theta = ens.stn.apply(diff['stn'], stack)
+    return placed, theta, new_stats
+
+
+def _global_d_forward(ens: MontageEnsemble, d_vars, renderer_vars, stack,
+                      aug_cfg, aug_p, rng, use_renderer: bool):
+    """run_global_D (reference: custom/loss_aio.py:245-257)."""
+    if ens.renderer is not None and use_renderer:
+        blended = ens.renderer.apply(renderer_vars, stack)
+    else:
+        blended = normalize_minus11(alpha_composite(normalize_zero1(stack)))
+    if aug_cfg is not None:
+        blended = augment_pipe(blended, aug_p, rng, aug_cfg)
+    return ens.global_d.apply(d_vars, blended)
+
+
+def global_gmain_loss(diff, ens: MontageEnsemble, frozen, z, rng,
+                      aug_cfg, aug_p, style_mixing_prob=0.9,
+                      use_renderer=True):
+    """Global Gmain + theta constraint (reference: custom/loss_aio.py:284-298).
+    diff = {'mapping','local_g','stn'}; frozen = {'global_d','renderer'}."""
+    k_fwd, k_aug = jax.random.split(rng)
+    placed, theta, new_stats = _global_g_forward(ens, diff, z, k_fwd,
+                                                 style_mixing_prob)
+    logits = _global_d_forward(ens, frozen['global_d'],
+                               frozen.get('renderer'), placed,
+                               aug_cfg, aug_p, k_aug, use_renderer)
+    loss_g = jnp.mean(softplus(-logits))
+    loss_theta = theta_constrain_loss(theta)
+    aux = {'moving_stats': new_stats,
+           'stats': {'Loss/scores/fake': jnp.mean(logits),
+                     'Loss/signs/fake': jnp.mean(jnp.sign(logits)),
+                     'Loss/G/loss': loss_g,
+                     'Loss/STN/theta_constrain': loss_theta}}
+    return loss_g + loss_theta, aux
+
+
+def global_dmain_loss(diff_d_vars, ens: MontageEnsemble, frozen,
+                      z, real_stack, rng, aug_cfg, aug_p,
+                      style_mixing_prob=0.9, use_renderer=True,
+                      global_d_real_use_renderer=True):
+    """Global Dgen + Dreal (reference: custom/loss_aio.py:300-325).
+    real_stack: [B, L, H, W, C] in [-1, 1]."""
+    k_fwd, k_aug1, k_aug2 = jax.random.split(rng, 3)
+    placed, _, new_stats = _global_g_forward(
+        ens, {'mapping': frozen['mapping'], 'local_g': frozen['local_g'],
+              'stn': frozen['stn']}, z, k_fwd, style_mixing_prob)
+    placed = jax.lax.stop_gradient(placed)
+    gen_logits = _global_d_forward(ens, diff_d_vars, frozen.get('renderer'),
+                                   placed, aug_cfg, aug_p, k_aug1, use_renderer)
+    real_logits = _global_d_forward(ens, diff_d_vars, frozen.get('renderer'),
+                                    real_stack, aug_cfg, aug_p, k_aug2,
+                                    use_renderer and global_d_real_use_renderer)
+    loss = jnp.mean(softplus(gen_logits)) + jnp.mean(softplus(-real_logits))
+    aux = {'moving_stats': new_stats,
+           'stats': {'Loss/scores/fake': jnp.mean(gen_logits),
+                     'Loss/signs/fake': jnp.mean(jnp.sign(gen_logits)),
+                     'Loss/scores/real': jnp.mean(real_logits),
+                     'Loss/signs/real': jnp.mean(jnp.sign(real_logits)),
+                     'Loss/D/loss': loss},
+           'sign_real': jnp.mean(jnp.sign(real_logits))}
+    return loss, aux
+
+
+def global_dr1_loss(diff_d_vars, ens: MontageEnsemble, frozen, real_stack,
+                    rng, aug_cfg, aug_p, global_r1_gamma=10.0,
+                    use_renderer=True, global_d_real_use_renderer=True):
+    """Global R1 (reference: custom/loss_aio.py:327-341): gradient w.r.t. the
+    real layer STACK through renderer/composite + augment + D; D's weight
+    grads arrive through the double backward."""
+    use_r = use_renderer and global_d_real_use_renderer
+
+    def d_sum(stack):
+        logits = _global_d_forward(ens, diff_d_vars, frozen.get('renderer'),
+                                   stack, aug_cfg, aug_p, rng, use_r)
+        return jnp.sum(logits), logits
+
+    r1_grads, real_logits = jax.grad(d_sum, has_aux=True)(real_stack)
+    r1_penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3, 4))
+    loss = jnp.mean(r1_penalty) * (global_r1_gamma / 2)
+    aux = {'stats': {'Loss/r1_penalty': jnp.mean(r1_penalty),
+                     'Loss/D/reg': loss},
+           'sign_real': jnp.mean(jnp.sign(real_logits))}
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# Renderer phase (reference: custom/loss_aio.py:343-372)
+# ---------------------------------------------------------------------------
+
+def renderer_loss(diff_renderer_vars, ens: MontageEnsemble, frozen,
+                  z, real_stack, rng, loss_type='mse',
+                  use_real=True, style_mixing_prob=0.9):
+    """Self-supervised renderer retraining: renderer output vs the exact
+    alpha composite of the same (detached) layer stack."""
+    placed, _, _ = _global_g_forward(
+        ens, {'mapping': frozen['mapping'], 'local_g': frozen['local_g'],
+              'stn': frozen['stn']}, z, rng, style_mixing_prob)
+    placed = jax.lax.stop_gradient(placed)
+
+    def criterion(a, b):
+        if loss_type == 'mse':
+            return jnp.mean(jnp.square(a - b))
+        return jnp.mean(jnp.abs(a - b))
+
+    def one(stack):
+        out = ens.renderer.apply(diff_renderer_vars, stack)
+        target = jax.lax.stop_gradient(
+            alpha_composite(normalize_zero1(stack)))
+        out01 = normalize_zero1(out)
+        return criterion(out01, target), calc_psnr(
+            jax.lax.stop_gradient(out01), target)
+
+    loss_gen, psnr_gen = one(placed)
+    stats = {'Renderer/loss_gen': loss_gen, 'Renderer/psnr_gen': psnr_gen}
+    loss = loss_gen
+    if use_real:
+        loss_real, psnr_real = one(real_stack)
+        stats.update({'Renderer/loss_real': loss_real,
+                      'Renderer/psnr_real': psnr_real})
+        loss = loss + loss_real
+    return loss, {'stats': stats}

@@ -8,7 +8,10 @@ XLA's host-platform device splitting.
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
+# NOTE: this environment pre-imports jax via sitecustomize (the axon TPU
+# plugin), so plain env-var assignment here is too late for JAX_PLATFORMS —
+# use jax.config.update below.  XLA_FLAGS is still read lazily at first
+# backend initialization, so set it before any device query.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -26,6 +29,16 @@ if HAS_REFERENCE and REFERENCE_PATH not in sys.path:
     sys.path.insert(0, REFERENCE_PATH)
 
 import pytest  # noqa: E402
+
+# Persistent compilation cache makes repeated test runs cheap.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
 
 
 def pytest_configure(config):

@@ -312,17 +312,27 @@ def _random_layers(rng, b=2, l=5, h=8, w=8):
     return layers
 
 
-@pytest.mark.reference
-def test_alpha_composite_vs_torch_recurrence():
-    from custom_utils.image_utils import alpha_composite_pytorch
+def _torch_a_over_b_recurrence(layers_t):
+    """Independent sequential straight-alpha recurrence oracle implementing
+    the documented contract (reference custom_utils/image_utils.py:128-146):
+    canvas starts at layer 0; each next layer composites OVER it; 0/0 → 0."""
+    canvas = layers_t[:, 0]
+    for i in range(1, layers_t.shape[1]):
+        top = layers_t[:, i]
+        ta, ca = top[..., 3:], canvas[..., 3:]
+        ao = ta + ca * (1 - ta)
+        co = torch.nan_to_num(
+            (top[..., :3] * ta + canvas[..., :3] * ca * (1 - ta)) / ao)
+        canvas = torch.cat([co, ao], dim=-1)
+    return canvas
 
+
+def test_alpha_composite_vs_torch_recurrence():
     rng = np.random.RandomState(9)
     layers = _random_layers(rng)
     y = ops.alpha_composite(jnp.asarray(layers))
-    # reference expects [B, L, C, H, W]
-    ref_in = t(np.transpose(layers, (0, 1, 4, 2, 3)))
-    y_ref = alpha_composite_pytorch(ref_in)
-    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref.numpy()),
+    y_ref = _torch_a_over_b_recurrence(t(layers))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(),
                                rtol=1e-4, atol=1e-5)
 
 
@@ -369,9 +379,8 @@ def test_alpha_composite_gradients_finite():
 
 @pytest.mark.reference
 def test_translate_and_composite_fused():
-    """Fused op == reference chain (pad → STN-style translate → composite)."""
+    """Fused op == torch chain (STN-style translate w/ +1 shift → composite)."""
     import torch.nn.functional as F
-    from custom_utils.image_utils import alpha_composite_pytorch
 
     rng = np.random.RandomState(12)
     layers01 = _random_layers(rng, b=2, l=3, h=12, w=12)
@@ -382,14 +391,15 @@ def test_translate_and_composite_fused():
                                     pad_value=-1.0, input_range='minus11')
 
     b, l, h, w, c = layers.shape
-    xt = t(np.transpose(layers, (0, 1, 4, 2, 3))).reshape(b * l, c, h, w)
+    xt = t(np.ascontiguousarray(
+        np.transpose(layers, (0, 1, 4, 2, 3)))).reshape(b * l, c, h, w)
     theta = np.tile(np.eye(2, 3, dtype=np.float32), (b * l, 1, 1))
     theta[:, :, 2] += trans.reshape(b * l, 2)
     grid_ref = F.affine_grid(t(theta), xt.shape, align_corners=False)
     moved = F.grid_sample(xt + 1, grid_ref, align_corners=False) - 1
-    moved = moved.reshape(b, l, c, h, w)
-    comp = alpha_composite_pytorch((moved + 1) / 2) * 2 - 1
-    np.testing.assert_allclose(np.asarray(y), to_nhwc(comp.numpy()),
+    moved = moved.permute(0, 2, 3, 1).reshape(b, l, h, w, c)
+    comp = _torch_a_over_b_recurrence((moved + 1) / 2) * 2 - 1
+    np.testing.assert_allclose(np.asarray(y), comp.numpy(),
                                rtol=1e-4, atol=1e-5)
 
 
@@ -399,8 +409,11 @@ def test_translate_and_composite_fused():
 
 @pytest.mark.reference
 def test_calc_res_parity():
+    import importlib
     import custom_utils.calc_res as ref_cr
-    from montage_gan_tpu.utils import calc_res as cr
+    # the package re-exports a function named calc_res, shadowing the
+    # submodule attribute — resolve the module explicitly
+    cr = importlib.import_module("montage_gan_tpu.utils.calc_res")
 
     shapes = [(256, 256), (224, 160), (160, 96), (96, 64), (64, 32),
               (160, 64), (64, 160), (94, 151), (128, 128)]

@@ -1,0 +1,145 @@
+"""Integration test: the single jitted AIO train step on a tiny ensemble.
+
+Covers the phase schedule semantics (SURVEY.md §2.7): sequential local G/D
+updates with the shared mapping, lazy-reg interval masks, global phases,
+renderer phase, EMA, and the ADA controller — all inside one compiled step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
+from montage_gan_tpu.training.augment import AugmentConfig
+from montage_gan_tpu.training.train_step import MontageTrainer, TrainHyper
+
+BATCH = 2
+
+
+def tiny_setup(train_global=True, train_renderer=True, augment=True):
+    cfg = MontageConfig(
+        layer_names=('a', 'b'),
+        layer_targets=((32, 32), (16, 8)),
+        base_resolution=32,
+        conv_config_index=2,
+        z_dim=32, w_dim=32, mapping_num_layers=2,
+        channel_base=512, channel_max=32, num_fp16_res=0,
+        mbstd_group_size=2, stn_stages=2,
+        train_global=train_global,
+        renderer_type='tanh' if train_renderer else 'none')
+    ens = MontageEnsemble(cfg)
+    aug = AugmentConfig(xflip=1, brightness=1, noise=1, cutout=1) if augment else None
+    hyper = TrainHyper(batch_size=BATCH, augment=aug, ada_target=0.6,
+                       ada_interval=2, g_reg_interval=2, d_reg_interval=2,
+                       pl_batch_shrink=2,
+                       train_global=train_global,
+                       train_renderer=train_renderer,
+                       bypass_renderer=not train_renderer)
+    trainer = MontageTrainer(ens, hyper)
+    return ens, trainer
+
+
+def fake_batch(ens, key):
+    cfg = ens.cfg
+    k1, k2 = jax.random.split(key)
+    stack = jax.random.uniform(k1, (BATCH, cfg.num_layers, cfg.base_resolution,
+                                    cfg.base_resolution, cfg.img_channels),
+                               minval=-1.0, maxval=1.0)
+    crops = tuple(
+        jax.random.uniform(jax.random.fold_in(k2, i),
+                           (BATCH,) + cfg.layer_targets[i] + (cfg.img_channels,),
+                           minval=-1.0, maxval=1.0)
+        for i in range(cfg.num_layers))
+    return stack, crops
+
+
+@pytest.fixture(scope="module")
+def stepped():
+    ens, trainer = tiny_setup()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+    step = jax.jit(trainer.train_step)
+    stack, crops = fake_batch(ens, jax.random.PRNGKey(1))
+    states = [state]
+    all_stats = []
+    for t in range(3):
+        state, stats = step(state, stack, crops, jax.random.PRNGKey(10 + t))
+        states.append(state)
+        all_stats.append(stats)
+    return ens, trainer, states, all_stats
+
+
+def test_step_runs_and_updates_params(stepped):
+    ens, trainer, states, all_stats = stepped
+    s0, s1 = states[0], states[1]
+    assert int(s1.step) == 1
+
+    def changed(a, b):
+        return any(bool(jnp.any(x != y))
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    assert changed(s0.variables['mapping']['params'],
+                   s1.variables['mapping']['params'])
+    for i in range(ens.cfg.num_layers):
+        assert changed(s0.variables['local_g'][i]['params'],
+                       s1.variables['local_g'][i]['params'])
+        assert changed(s0.variables['local_d'][i]['params'],
+                       s1.variables['local_d'][i]['params'])
+    assert changed(s0.variables['stn']['params'], s1.variables['stn']['params'])
+    assert changed(s0.variables['global_d']['params'],
+                   s1.variables['global_d']['params'])
+    assert changed(s0.variables['renderer']['params'],
+                   s1.variables['renderer']['params'])
+
+
+def test_stats_are_finite(stepped):
+    ens, trainer, states, all_stats = stepped
+    for stats in all_stats:
+        for k, v in stats.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_params_stay_finite(stepped):
+    ens, trainer, states, all_stats = stepped
+    for leaf in jax.tree_util.tree_leaves(states[-1].variables):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_ema_tracks_params(stepped):
+    ens, trainer, states, all_stats = stepped
+    s = states[-1]
+    # EMA should differ from both init and current params but stay finite
+    ema_leaf = jax.tree_util.tree_leaves(s.ema['mapping']['params'])[0]
+    cur_leaf = jax.tree_util.tree_leaves(s.variables['mapping']['params'])[0]
+    init_leaf = jax.tree_util.tree_leaves(
+        states[0].variables['mapping']['params'])[0]
+    assert bool(jnp.any(ema_leaf != cur_leaf))
+    assert bool(jnp.any(ema_leaf != init_leaf))
+
+
+def test_pl_mean_updates_on_reg_steps(stepped):
+    ens, trainer, states, all_stats = stepped
+    # g_reg_interval=2: reg at steps 0 and 2 → pl_mean changes
+    assert bool(jnp.any(states[1].pl_mean != 0))
+
+
+def test_w_avg_updates(stepped):
+    ens, trainer, states, all_stats = stepped
+    w0 = states[0].variables['mapping']['moving_stats']['w_avg']
+    w1 = states[1].variables['mapping']['moving_stats']['w_avg']
+    assert bool(jnp.any(w0 != w1))
+
+
+def test_local_only_mode():
+    """train_global=False ⇒ step 1 (pretrain local GANs) still works
+    (reference config switch: custom/training_loop_aio.py:61-86)."""
+    ens, trainer = tiny_setup(train_global=False, train_renderer=False,
+                              augment=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+    stack, crops = fake_batch(ens, jax.random.PRNGKey(1))
+    state, stats = jax.jit(trainer.train_step)(state, stack, crops,
+                                               jax.random.PRNGKey(2))
+    assert int(state.step) == 1
+    assert 'a/Loss/G/loss' in stats
