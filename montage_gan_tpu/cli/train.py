@@ -1,0 +1,175 @@
+"""Single-GAN StyleGAN2-ADA trainer.
+
+CLI parity with the reference's train.py (reference: train.py:24-555): one
+generator/discriminator pair on a flat image folder/zip, ADA augmentation,
+R1 + path-length lazy regularization, EMA, snapshots.
+
+Implementation: this is the 1-layer / no-global special case of the AIO
+trainer — the ensemble degenerates to (MappingNetwork, one SynthesisNetwork,
+one Discriminator), which shares every kernel and the whole train step with
+the MontageGAN path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import click
+import numpy as np
+
+from .train_aio import CFG_SPECS, next_run_dir, resolve_auto_spec
+from ..training.augment import AUGPIPE_SPECS, make_augment_config
+from ..utils.config import EasyDict
+from ..utils.logging_utils import Logger
+
+
+@click.command()
+@click.option('--outdir', required=True, metavar='DIR')
+@click.option('--data', required=True, metavar='PATH')
+@click.option('--gpus', 'num_devices', type=int, default=None)
+@click.option('--snap', type=int, default=50)
+@click.option('--seed', type=int, default=0)
+@click.option('--cond', type=bool, default=False)
+@click.option('--mirror', type=bool, default=False)
+@click.option('--cfg', type=click.Choice(list(CFG_SPECS)), default='auto')
+@click.option('--gamma', type=float, default=None)
+@click.option('--kimg', type=int, default=None)
+@click.option('--batch', type=int, default=None)
+@click.option('--aug', type=click.Choice(['ada', 'noaug', 'fixed']),
+              default='ada')
+@click.option('--p', type=float, default=None)
+@click.option('--target', type=float, default=None)
+@click.option('--augpipe', type=click.Choice(list(AUGPIPE_SPECS)),
+              default='bgc')
+@click.option('--resume', default=None)
+@click.option('--freezed', type=int, default=0)
+@click.option('--fp32', type=bool, default=False)
+@click.option('--dry-run', is_flag=True, default=False)
+def main(**kwargs):
+    """Train a single StyleGAN2-ADA GAN on TPU."""
+    opts = EasyDict(kwargs)
+    from ..utils.platform import select_platform
+    select_platform()
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.dataset import ImageFolderDataset
+    from ..data.sampler import InfiniteSampler
+    from ..models.ensemble import MontageConfig, MontageEnsemble
+    from ..parallel.mesh import (make_mesh, make_parallel_train_step,
+                                 replicate, shard_batch)
+    from ..training.train_step import MontageTrainer, TrainHyper
+    from ..utils import checkpoint as ckpt
+    from ..utils.grid import save_image_grid
+    from ..utils.training_stats import Collector, JsonlWriter, StatsAccumulator
+
+    if opts.cond:
+        raise click.UsageError('conditional training not yet supported')
+
+    dataset = ImageFolderDataset(opts.data, xflip=opts.mirror)
+    res = dataset.resolution
+    nch = dataset.num_channels
+    n_dev = opts.num_devices or len(jax.devices())
+
+    spec = EasyDict(CFG_SPECS[opts.cfg])
+    if opts.cfg == 'auto':
+        spec = resolve_auto_spec(spec, res, n_dev)
+    batch = opts.batch or spec.mb
+
+    cfg = MontageConfig(
+        layer_names=('image',), layer_targets=((res, res),),
+        base_resolution=res, img_channels=nch, conv_config_index=2,
+        mapping_num_layers=spec.map,
+        channel_base=int(spec.fmaps * 32768), channel_max=512,
+        num_fp16_res=0 if opts.fp32 else 4,
+        conv_clamp=None if opts.fp32 else 256,
+        mbstd_group_size=spec.mbstd,
+        use_global_mapping=False, train_global=False, renderer_type='none')
+
+    augment = make_augment_config(opts.augpipe) if opts.aug != 'noaug' else None
+    hyper = TrainHyper(
+        lrate=spec.lrate, batch_size=batch,
+        r1_gamma=opts.gamma if opts.gamma is not None else spec.gamma,
+        ema_kimg=spec.ema, ema_rampup=spec.ramp,
+        augment=augment,
+        ada_target=(opts.target or 0.6) if opts.aug == 'ada' else None,
+        augment_p_init=opts.p or 0.0, aug_p_max=1.0,
+        train_global=False, train_renderer=False, bypass_renderer=True)
+    if opts.cfg == 'cifar':
+        hyper = TrainHyper(**{**hyper.__dict__, 'pl_weight': 0.0,
+                              'style_mixing_prob': 0.0})
+
+    run_dir = next_run_dir(opts.outdir, f'{dataset.name}-{opts.cfg}')
+    print(json.dumps({'run_dir': run_dir, 'batch': batch, 'res': res,
+                      'channels': nch, 'devices': n_dev}, indent=2))
+    if opts.dry_run:
+        print('Dry run; exiting.')
+        return
+    os.makedirs(run_dir, exist_ok=True)
+    logger = Logger(os.path.join(run_dir, 'log.txt'))
+
+    ens = MontageEnsemble(cfg)
+    trainer = MontageTrainer(ens, hyper)
+    mesh = make_mesh(opts.num_devices)
+    state = trainer.init_state(jax.random.PRNGKey(opts.seed), batch=batch)
+    if opts.resume:
+        state = ckpt.restore_train_state(opts.resume, state)
+    state = replicate(mesh, state)
+    step_fn = make_parallel_train_step(trainer, mesh)
+
+    sampler = iter(InfiniteSampler(len(dataset), seed=opts.seed))
+    acc = StatsAccumulator()
+    collector = Collector(acc)
+    jsonl = JsonlWriter(os.path.join(run_dir, 'stats.jsonl'))
+
+    def fetch_batch():
+        imgs = np.stack([dataset[next(sampler)][0] for _ in range(batch)])
+        return imgs.astype(np.float32) / 127.5 - 1.0  # [-1, 1] NHWC
+
+    total_kimg = opts.kimg or spec.kimg
+    cur_nimg, cur_tick = 0, 0
+    tick_start, t0 = 0, time.time()
+    print(f'Training for {total_kimg} kimg...')
+    while cur_nimg < total_kimg * 1000:
+        real = jnp.asarray(fetch_batch())
+        # single-layer "stack" view of the same batch
+        stack = shard_batch(mesh, real[:, None])
+        crops = shard_batch(mesh, (real,))
+        rng = jax.random.fold_in(jax.random.PRNGKey(opts.seed + 1), cur_nimg)
+        state, stats = step_fn(state, stack, crops, replicate(mesh, rng))
+        cur_nimg += batch
+        acc.report_dict({k: np.asarray(v) for k, v in stats.items()})
+
+        if cur_nimg - tick_start >= 4000 or cur_nimg >= total_kimg * 1000:
+            dt = time.time() - t0
+            print(f'tick {cur_tick:<4d} kimg {cur_nimg / 1e3:<8.1f} '
+                  f'time {dt:<8.0f}s '
+                  f'sec/kimg {dt / max(cur_nimg, 1) * 1e3:<6.2f}')
+            collector.update()
+            jsonl.write(collector.as_dict(), timestamp=time.time())
+            if cur_tick % opts.snap == 0 or cur_nimg >= total_kimg * 1000:
+                host = jax.device_get(state)
+                ckpt.save_train_state(run_dir, cur_nimg // 1000, host)
+                ckpt.save_ema_snapshot(
+                    os.path.join(run_dir, f'ema-snapshot-{cur_nimg // 1000:06d}'),
+                    cfg, dict(host.ema))
+                z = jax.random.normal(jax.random.PRNGKey(0), (16, cfg.z_dim))
+                ws = ens.mapping.apply(host.ema['mapping'], z)
+                imgs = ens.local_gs[0].apply(host.ema['local_g'][0],
+                                             ens.ws_for_layer(ws, 0),
+                                             noise_mode='const')
+                save_image_grid((np.asarray(imgs) + 1) / 2,
+                                os.path.join(run_dir,
+                                             f'fakes{cur_nimg // 1000:06d}.png'),
+                                nrow=4)
+            cur_tick += 1
+            tick_start = cur_nimg
+    jsonl.close()
+    logger.close()
+    print('Exiting...')
+
+
+if __name__ == '__main__':
+    main()

