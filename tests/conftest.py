@@ -41,6 +41,32 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
 
 
+def stub_torchvision():
+    """Install a minimal torchvision stub so reference modules that import it
+    at module scope (e.g. custom_utils.image_utils) can be loaded as oracles.
+    Only the names used at import time are provided."""
+    import types
+    if 'torchvision' in sys.modules:
+        return
+    tv = types.ModuleType('torchvision')
+    transforms = types.ModuleType('torchvision.transforms')
+    utils = types.ModuleType('torchvision.utils')
+
+    class _Unavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError('torchvision stub: not available')
+
+    transforms.ToTensor = _Unavailable
+    transforms.ToPILImage = _Unavailable
+    utils.make_grid = _Unavailable
+    utils.save_image = _Unavailable
+    tv.transforms = transforms
+    tv.utils = utils
+    sys.modules['torchvision'] = tv
+    sys.modules['torchvision.transforms'] = transforms
+    sys.modules['torchvision.utils'] = utils
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "reference: test needs the upstream reference repo as oracle")
