@@ -29,7 +29,7 @@ BASELINE_IMGS_PER_SEC = 25.0
 
 BATCH = 32
 WARMUP_STEPS = 2
-MEASURE_STEPS = 8
+MEASURE_STEPS = 16  # one full D-reg interval → amortized lazy-reg cost included
 
 
 def main():
@@ -39,12 +39,17 @@ def main():
     from montage_gan_tpu.training.train_step import MontageTrainer, TrainHyper
     from montage_gan_tpu.utils.image_utils import make_batch_for_local_d_np
 
+    from montage_gan_tpu.training.phase_exec import PhaseExecutor
+    from montage_gan_tpu.utils.platform import select_platform
+    select_platform()  # honors MGT_PLATFORM; enables the compile cache
+
     cfg = MontageConfig()  # production 9-layer 256px config (cfg 'aio')
     ens = MontageEnsemble(cfg)
     hyper = TrainHyper(batch_size=BATCH,
                        augment=make_augment_config('bgcfnc'),
                        ada_target=0.6)
     trainer = MontageTrainer(ens, hyper)
+    executor = PhaseExecutor(trainer)
 
     state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
 
@@ -54,20 +59,23 @@ def main():
         stack01, [list(t) for t in cfg.layer_targets], to_minus11=True))
     stack = jnp.asarray(stack01 * 2.0 - 1.0)
 
-    step = jax.jit(trainer.train_step, donate_argnums=(0,))
+    state = jax.device_put(state)
 
     t_compile = time.time()
-    state, stats = step(state, stack, crops, jax.random.PRNGKey(1))
+    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(1))
     jax.block_until_ready(stats)
     compile_s = time.time() - t_compile
 
+    # warm both reg-interval variants (steps where R1/PL do and don't run)
     for i in range(WARMUP_STEPS):
-        state, stats = step(state, stack, crops, jax.random.PRNGKey(2 + i))
+        state, stats = executor.step(state, stack, crops,
+                                     jax.random.PRNGKey(2 + i))
     jax.block_until_ready(stats)
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):
-        state, stats = step(state, stack, crops, jax.random.PRNGKey(100 + i))
+        state, stats = executor.step(state, stack, crops,
+                                     jax.random.PRNGKey(100 + i))
     jax.block_until_ready(stats)
     dt = time.time() - t0
 

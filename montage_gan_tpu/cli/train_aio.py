@@ -101,6 +101,10 @@ def next_run_dir(outdir: str, desc: str) -> str:
 @click.option('--aug-p-max', type=float, default=0.6)
 @click.option('--dry-run', is_flag=True, default=False)
 @click.option('--run-once', is_flag=True, default=False)
+@click.option('--channel-base', type=int, default=None,
+              help='Override channel_base (testing/small runs)')
+@click.option('--channel-max', type=int, default=None)
+@click.option('--kimg-per-tick', type=int, default=4)
 def main(**kwargs):
     """Train MontageGAN all-in-one on TPU."""
     opts = EasyDict(kwargs)
@@ -128,7 +132,8 @@ def main(**kwargs):
 
     cfg = config_from_dataset(
         dataset,
-        channel_base=int(spec.fmaps * 32768), channel_max=512,
+        channel_base=opts.channel_base or int(spec.fmaps * 32768),
+        channel_max=opts.channel_max or 512,
         num_fp16_res=0 if opts.fp32 else 4,
         conv_clamp=None if opts.fp32 else 256,
         mbstd_group_size=spec.mbstd,
@@ -178,6 +183,7 @@ def main(**kwargs):
         training_loop(
             run_dir=run_dir, dataset=dataset, cfg=cfg, hyper=hyper,
             total_kimg=opts.kimg or spec.kimg,
+            kimg_per_tick=opts.kimg_per_tick,
             image_snapshot_ticks=opts.img_snap,
             network_snapshot_ticks=opts.net_snap,
             random_seed=opts.seed, resume_path=resume_path,

@@ -178,12 +178,18 @@ class MontageEnsemble:
     # Forward paths (functional; mirror loss_aio.run_global_G / run_global_D)
     # ------------------------------------------------------------------
 
-    def ws_for_layer(self, ws: jax.Array, layer_idx: int) -> jax.Array:
+    def ws_for_layer(self, ws: jax.Array, layer_idx, num_ws: Optional[int] = None) -> jax.Array:
         """Slice the (global) mapping output for one layer
-        (reference: custom/loss_aio.py:69-71)."""
+        (reference: custom/loss_aio.py:69-71).
+
+        ``layer_idx`` may be a traced scalar (geometry-shared compiled
+        phases); ``num_ws`` must then be given statically (it is equal
+        within a geometry group)."""
+        if num_ws is None:
+            num_ws = self.local_gs[int(layer_idx)].num_ws
         if ws.ndim == 4:  # [B, L, num_ws, w]
-            ws = ws[:, layer_idx]
-        return ws[:, :self.local_gs[layer_idx].num_ws]
+            ws = jnp.take(ws, layer_idx, axis=1)
+        return ws[:, :num_ws]
 
     def synthesize_layers(self,
                           variables: Dict[str, Any],

@@ -22,6 +22,21 @@ from flax import linen as nn
 from ..ops.grid_sample import translate_sample, translate_to_theta
 
 
+def auto_stn_stages(img_resolution: int, max_stages: int = 5) -> int:
+    """Deepest localization depth that keeps a ≥1px spatial output
+    (the reference's fixed 5 stages assume 256px input)."""
+    kernels = (7, 5, 3, 3, 3)
+    size = img_resolution
+    stages = 0
+    for k in kernels[:max_stages]:
+        nxt = (size - (k - 1)) // 2
+        if nxt < 1:
+            break
+        size = nxt
+        stages += 1
+    return max(stages, 1)
+
+
 class STN(nn.Module):
     img_resolution: int = 256
     img_channels: int = 4

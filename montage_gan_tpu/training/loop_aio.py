@@ -78,12 +78,14 @@ class BatchPrefetcher:
 def config_from_dataset(dataset: DatasetAIO, **overrides) -> MontageConfig:
     """Derive the ensemble config from dataset statistics
     (reference: custom/training_loop_aio.py:251-297)."""
+    from ..models.stn import auto_stn_stages
     kwargs = dict(
         layer_names=tuple(dataset.layer_names),
         layer_targets=dataset.layer_targets,
         base_resolution=dataset.resolution,
         img_channels=dataset.num_channels,
         conv_config_index=dataset.conv_config_index,
+        stn_stages=auto_stn_stages(dataset.resolution),
     )
     kwargs.update(overrides)
     return MontageConfig(**kwargs)
@@ -107,6 +109,7 @@ def training_loop(
         abort_fn: Optional[Callable[[], bool]] = None,
         progress_fn: Optional[Callable[[int, int], None]] = None,
         run_once: bool = False,
+        use_phase_executor: bool = True,
 ):
     os.makedirs(run_dir, exist_ok=True)
     if cfg is None:
@@ -134,7 +137,14 @@ def training_loop(
         print(f'Resuming from "{resume_path}"')
         state = ckpt.restore_train_state(resume_path, state)
     state = replicate(mesh, state)
-    step_fn = make_parallel_train_step(trainer, mesh)
+    if use_phase_executor:
+        # per-phase compiled programs with geometry sharing (fast compile,
+        # host-side interval scheduling) — see training/phase_exec.py
+        from .phase_exec import PhaseExecutor
+        executor = PhaseExecutor(trainer)
+        step_fn = lambda s, a, b, r: executor.step(s, a, b, r)  # noqa: E731
+    else:
+        step_fn = make_parallel_train_step(trainer, mesh)
 
     prefetcher = BatchPrefetcher(dataset, hyper.batch_size,
                                  cfg.layer_targets, seed=random_seed)
@@ -243,12 +253,38 @@ def training_loop(
                 os.path.join(run_dir, f'ema-snapshot-{cur_nimg // 1000:06d}'),
                 cfg, ema_tree, renderer_vars)
 
-        # metrics
-        if metric_fn is not None and metrics and snapshot_path is not None:
-            for metric in metrics:
-                result = metric_fn(metric, state, ens, dataset, run_dir)
-                if result is not None:
-                    acc.report_dict(result)
+        # metrics on the EMA ensemble (reference: training_loop_aio.py:837-857;
+        # like the reference, requires the global path — FID needs the STN)
+        if metrics and cfg.train_global and \
+                (done or (network_snapshot_ticks is not None
+                          and cur_tick % network_snapshot_ticks == 0)):
+            from ..metrics import metric_main
+            from ..metrics.features import build_extractor
+            from ..ops.composite import alpha_composite
+            host_state = jax.device_get(state)
+            ema_vars = dict(host_state.ema)
+
+            @jax.jit
+            def metric_sample_fn(z):
+                placed, _ = ens.run_global_g(ema_vars, z, noise_mode='const')
+                return alpha_composite(
+                    normalize_zero1(jnp.clip(placed, -1, 1)))
+
+            extractor = build_extractor('auto')
+            for metric in (metric_fn and [] or metrics):
+                result = metric_main.calc_metric(
+                    metric, dataset=dataset, sample_fn=metric_sample_fn,
+                    z_dim=cfg.z_dim, extractor=extractor,
+                    cache_dir=os.path.join(run_dir, 'metric-cache'))
+                metric_main.report_metric(result, run_dir=run_dir,
+                                          snapshot_pkl=snapshot_path)
+                for k, v in result.results.items():
+                    acc.report(f'Metrics/{k}', v)
+            if metric_fn is not None:
+                for metric in metrics:
+                    result = metric_fn(metric, state, ens, dataset, run_dir)
+                    if result is not None:
+                        acc.report_dict(result)
 
         collector.update()
         jsonl.write(collector.as_dict(), timestamp=time.time())

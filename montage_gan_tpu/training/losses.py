@@ -75,17 +75,24 @@ def run_mapping_with_mixing(ens: MontageEnsemble,
     return ws, mut['moving_stats']
 
 
-def run_local_g(ens: MontageEnsemble, layer_idx: int,
+def run_local_g(ens: MontageEnsemble, rep: int,
                 mapping_vars, g_vars, z, rng,
-                style_mixing_prob: float, update_w_avg: bool = True):
+                style_mixing_prob: float, update_w_avg: bool = True,
+                layer_idx=None):
     """run_G for one layer (reference: custom/loss_aio.py:50-87).
-    Returns (img, ws_for_layer, new_moving_stats)."""
+    Returns (img, ws_for_layer, new_moving_stats).
+
+    ``rep`` (static) selects the module geometry; ``layer_idx`` (may be
+    traced) selects the ws slice — they coincide except in geometry-shared
+    compiled phases (training/phase_exec.py)."""
+    if layer_idx is None:
+        layer_idx = rep
     k_mix, k_noise = jax.random.split(rng)
     ws, new_stats = run_mapping_with_mixing(ens, mapping_vars, z, k_mix,
                                             style_mixing_prob, update_w_avg)
-    ws_l = ens.ws_for_layer(ws, layer_idx)
-    img = ens.local_gs[layer_idx].apply(g_vars, ws_l, noise_mode='random',
-                                        rngs={'noise': k_noise})
+    ws_l = ens.ws_for_layer(ws, layer_idx, num_ws=ens.local_gs[rep].num_ws)
+    img = ens.local_gs[rep].apply(g_vars, ws_l, noise_mode='random',
+                                  rngs={'noise': k_noise})
     return img, ws_l, new_stats
 
 
@@ -101,14 +108,15 @@ def run_d(ens_d, d_vars, img, aug_cfg: Optional[AugmentConfig],
 # Local-GAN phase losses (reference: custom/loss_aio.py:96-179)
 # ---------------------------------------------------------------------------
 
-def local_gmain_loss(diff, ens: MontageEnsemble, layer_idx: int,
+def local_gmain_loss(diff, ens: MontageEnsemble, rep: int,
                      frozen_d_vars, z, rng, aug_cfg, aug_p,
-                     style_mixing_prob=0.9):
+                     style_mixing_prob=0.9, layer_idx=None):
     """diff = {'mapping': mapping variables, 'g': local G variables}."""
     k_g, k_aug = jax.random.split(rng)
-    img, _, new_stats = run_local_g(ens, layer_idx, diff['mapping'], diff['g'],
-                                    z, k_g, style_mixing_prob)
-    logits = run_d(ens.local_ds[layer_idx], frozen_d_vars, img,
+    img, _, new_stats = run_local_g(ens, rep, diff['mapping'], diff['g'],
+                                    z, k_g, style_mixing_prob,
+                                    layer_idx=layer_idx)
+    logits = run_d(ens.local_ds[rep], frozen_d_vars, img,
                    aug_cfg, aug_p, k_aug)
     loss = jnp.mean(softplus(-logits))
     aux = {'moving_stats': new_stats,
@@ -118,20 +126,22 @@ def local_gmain_loss(diff, ens: MontageEnsemble, layer_idx: int,
     return loss, aux
 
 
-def local_gpl_loss(diff, ens: MontageEnsemble, layer_idx: int,
+def local_gpl_loss(diff, ens: MontageEnsemble, rep: int,
                    z, rng, pl_mean, pl_batch_shrink=2, pl_decay=0.01,
-                   pl_weight=2.0, style_mixing_prob=0.9):
+                   pl_weight=2.0, style_mixing_prob=0.9, layer_idx=None):
     """Path-length regularizer (reference: custom/loss_aio.py:115-137).
     Differentiates G w.r.t. ws with weights stopped (no_weight_gradients),
     then penalizes ‖∇‖ deviation from the running mean."""
+    if layer_idx is None:
+        layer_idx = rep
     batch = z.shape[0] // pl_batch_shrink
     z = z[:batch]
     k_mix, k_noise, k_pl = jax.random.split(rng, 3)
     ws, new_stats = run_mapping_with_mixing(ens, diff['mapping'], z, k_mix,
                                             style_mixing_prob)
-    ws_l = ens.ws_for_layer(ws, layer_idx)
+    ws_l = ens.ws_for_layer(ws, layer_idx, num_ws=ens.local_gs[rep].num_ws)
 
-    th, tw = ens.cfg.layer_targets[layer_idx]
+    th, tw = ens.cfg.layer_targets[rep]
     pl_noise = (jax.random.normal(k_pl, (batch, th, tw, ens.cfg.img_channels))
                 / math.sqrt(th * tw))
 
@@ -142,9 +152,9 @@ def local_gpl_loss(diff, ens: MontageEnsemble, layer_idx: int,
     # *inner* weight-grad computation as a speed optimization — JAX never
     # computes unused cotangents in the first place).
     def inner(ws_in):
-        img = ens.local_gs[layer_idx].apply(diff['g'], ws_in,
-                                            noise_mode='random',
-                                            rngs={'noise': k_noise})
+        img = ens.local_gs[rep].apply(diff['g'], ws_in,
+                                      noise_mode='random',
+                                      rngs={'noise': k_noise})
         return jnp.sum(img * pl_noise)
 
     pl_grads = jax.grad(inner)(ws_l)
@@ -159,19 +169,20 @@ def local_gpl_loss(diff, ens: MontageEnsemble, layer_idx: int,
     return loss, aux
 
 
-def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, layer_idx: int,
+def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
                      frozen, z, real_img, rng, aug_cfg, aug_p,
-                     style_mixing_prob=0.9):
+                     style_mixing_prob=0.9, layer_idx=None):
     """Dgen + Dreal (reference: custom/loss_aio.py:139-164).
     frozen = {'mapping', 'g'} variables (no grads)."""
     k_g, k_aug1, k_aug2 = jax.random.split(rng, 3)
-    gen_img, _, new_stats = run_local_g(ens, layer_idx, frozen['mapping'],
+    gen_img, _, new_stats = run_local_g(ens, rep, frozen['mapping'],
                                         frozen['g'], z, k_g,
-                                        style_mixing_prob)
+                                        style_mixing_prob,
+                                        layer_idx=layer_idx)
     gen_img = jax.lax.stop_gradient(gen_img)
-    gen_logits = run_d(ens.local_ds[layer_idx], diff_d_vars, gen_img,
+    gen_logits = run_d(ens.local_ds[rep], diff_d_vars, gen_img,
                        aug_cfg, aug_p, k_aug1)
-    real_logits = run_d(ens.local_ds[layer_idx], diff_d_vars, real_img,
+    real_logits = run_d(ens.local_ds[rep], diff_d_vars, real_img,
                         aug_cfg, aug_p, k_aug2)
     loss_dgen = jnp.mean(softplus(gen_logits))
     loss_dreal = jnp.mean(softplus(-real_logits))
@@ -185,7 +196,7 @@ def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, layer_idx: int,
     return loss_dgen + loss_dreal, aux
 
 
-def local_dr1_loss(diff_d_vars, ens: MontageEnsemble, layer_idx: int,
+def local_dr1_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
                    real_img, rng, aug_cfg, aug_p, r1_gamma=10.0):
     """R1 penalty (reference: custom/loss_aio.py:151-179).  The gradient is
     taken w.r.t. the real image THROUGH the augmentation pipe; the outer grad
@@ -193,7 +204,7 @@ def local_dr1_loss(diff_d_vars, ens: MontageEnsemble, layer_idx: int,
     the reference's create_graph=True does."""
 
     def d_sum(img):
-        logits = run_d(ens.local_ds[layer_idx], diff_d_vars, img,
+        logits = run_d(ens.local_ds[rep], diff_d_vars, img,
                        aug_cfg, aug_p, rng)
         return jnp.sum(logits), logits
 

@@ -184,7 +184,7 @@ class MontageTrainer:
                    real_stack: jax.Array,
                    real_crops: Tuple[jax.Array, ...],
                    rng: jax.Array):
-        """One training iteration.
+        """One full training iteration (all phases in one traced program).
 
         Args:
             state: MontageTrainState.
@@ -197,6 +197,22 @@ class MontageTrainer:
         Returns:
             (new_state, stats dict of scalars).
         """
+        return self.partial_step(state, real_stack, real_crops, rng)
+
+    def partial_step(self, state: MontageTrainState,
+                     real_stack: jax.Array,
+                     real_crops: Tuple[jax.Array, ...],
+                     rng: jax.Array,
+                     do_local: bool = True,
+                     do_global: bool = True,
+                     do_greg: bool = True,
+                     do_dreg: bool = True,
+                     do_renderer: bool = True,
+                     host_scheduled: bool = False):
+        """train_step with static phase gates.  ``host_scheduled=True`` means
+        an outer scheduler (training/phase_exec.py) decides intervals on the
+        host, so the in-trace ``step % interval`` masks are dropped and gated
+        sections run unconditionally when enabled."""
         ens, hyper = self.ens, self.hyper
         num_layers = ens.cfg.num_layers
         variables = dict(state.variables)
@@ -227,7 +243,7 @@ class MontageTrainer:
             variables['mapping'] = {**variables['mapping'], 'moving_stats': ms}
 
         # ---------------- Renderer phase (interval 1) ---------------------
-        if hyper.train_renderer and self._use_renderer:
+        if do_renderer and hyper.train_renderer and self._use_renderer:
             k = phase_rng()
             frozen = {'mapping': variables['mapping'],
                       'local_g': tuple(variables['local_g']),
@@ -253,7 +269,7 @@ class MontageTrainer:
             stats.update(aux['stats'])
 
         # ---------------- Local GAN phases --------------------------------
-        if hyper.train_local:
+        if do_local and hyper.train_local:
             for i in range(num_layers):
                 name = ens.cfg.layer_names[i]
                 # ---- local_Gmain
@@ -394,11 +410,11 @@ class MontageTrainer:
                                                'params': d_p}
 
         # ---------------- Global phases -----------------------------------
-        if hyper.train_global and ens.stn is not None:
+        if do_global and hyper.train_global and ens.stn is not None:
             goi = hyper.global_optimize_interval
             # ---- global_Gmain (+ theta constraint)
             k = phase_rng()
-            do_glob = (step % goi) == 0
+            do_glob = True if host_scheduled else (step % goi) == 0
 
             def build_gg_vars(p):
                 diff = {'mapping': {**variables['mapping'],
@@ -425,20 +441,27 @@ class MontageTrainer:
                     hyper.style_mixing_prob, self._use_renderer)
                 return loss * float(goi), aux
 
+            GGMAIN_KEYS = ('Loss/scores/fake', 'Loss/signs/fake',
+                           'Loss/G/loss', 'Loss/STN/theta_constrain')
+
             def do_ggmain(carry):
-                p, opt, ms = carry
+                p, opt, ms, _ = carry
                 (loss, aux), grads = jax.value_and_grad(
                     ggmain, has_aux=True)(p)
                 grads = _nan_to_num(grads)
                 updates, opt = self.tx_global_g.update(grads, opt, p)
+                st = {k: aux['stats'][k] for k in GGMAIN_KEYS}
                 return (optax.apply_updates(p, updates), opt,
-                        aux['moving_stats'])
+                        aux['moving_stats'], st)
 
             p0 = self._global_g_params(variables)
+            zero_st = {k: jnp.zeros([]) for k in GGMAIN_KEYS}
             carry = (p0, opt_states['global_g'],
-                     variables['mapping']['moving_stats'])
-            carry = jax.lax.cond(do_glob, do_ggmain, lambda c: c, carry)
-            p1, opt_states['global_g'], ms = carry
+                     variables['mapping']['moving_stats'], zero_st)
+            carry = (do_ggmain(carry) if host_scheduled
+                     else jax.lax.cond(do_glob, do_ggmain, lambda c: c, carry))
+            p1, opt_states['global_g'], ms, gg_st = carry
+            stats.update({f'global/{k}': v for k, v in gg_st.items()})
             variables['mapping'] = {**variables['mapping'],
                                     'params': p1['mapping'],
                                     'moving_stats': ms}
@@ -464,31 +487,42 @@ class MontageTrainer:
                     self._use_renderer, hyper.global_d_real_use_renderer)
                 return loss * float(goi), aux
 
+            GDMAIN_KEYS = ('Loss/scores/fake', 'Loss/signs/fake',
+                           'Loss/scores/real', 'Loss/signs/real',
+                           'Loss/D/loss')
+
             def do_gdmain(carry):
-                d_params, opt, ms, ss, sc = carry
+                d_params, opt, ms, ss, sc, _ = carry
                 (loss, aux), grads = jax.value_and_grad(
                     gdmain, has_aux=True)(d_params)
                 grads = _nan_to_num(grads)
                 updates, opt = self.tx_global_d.update(grads, opt, d_params)
                 ss = ss.at[num_layers].add(aux['sign_real'])
                 sc = sc.at[num_layers].add(1.0)
+                st = {k: aux['stats'][k] for k in GDMAIN_KEYS}
                 return (optax.apply_updates(d_params, updates), opt,
-                        aux['moving_stats'], ss, sc)
+                        aux['moving_stats'], ss, sc, st)
 
+            zero_st = {k: jnp.zeros([]) for k in GDMAIN_KEYS}
             carry = (variables['global_d']['params'], opt_states['global_d'],
                      variables['mapping']['moving_stats'], sign_sum,
-                     sign_count)
-            carry = jax.lax.cond(do_glob, do_gdmain, lambda c: c, carry)
-            (gd_p, opt_states['global_d'], ms, sign_sum, sign_count) = carry
+                     sign_count, zero_st)
+            carry = (do_gdmain(carry) if host_scheduled
+                     else jax.lax.cond(do_glob, do_gdmain, lambda c: c, carry))
+            (gd_p, opt_states['global_d'], ms, sign_sum, sign_count,
+             gd_st) = carry
+            stats.update({f'global/{k}': v for k, v in gd_st.items()})
             variables['global_d'] = {**variables['global_d'], 'params': gd_p}
             variables['mapping'] = {**variables['mapping'],
                                     'moving_stats': ms}
 
             # ---- global_Dreg (R1)
-            if hyper.d_reg_interval is not None and hyper.global_r1_gamma != 0:
+            if (hyper.d_reg_interval is not None
+                    and hyper.global_r1_gamma != 0
+                    and (do_dreg or not host_scheduled)):
                 k = phase_rng()
                 interval = hyper.d_reg_interval * goi
-                do_reg = (step % interval) == 0
+                do_reg = True if host_scheduled else (step % interval) == 0
 
                 def gdr1(d_params, k=k):
                     dvars = {**variables['global_d'], 'params': d_params}
@@ -500,8 +534,10 @@ class MontageTrainer:
                         self._use_renderer, hyper.global_d_real_use_renderer)
                     return loss * float(interval), aux
 
+                GDR1_KEYS = ('Loss/r1_penalty', 'Loss/D/reg')
+
                 def do_gdr1(carry):
-                    d_params, opt, ss, sc = carry
+                    d_params, opt, ss, sc, _ = carry
                     (loss, aux), grads = jax.value_and_grad(
                         gdr1, has_aux=True)(d_params)
                     grads = _nan_to_num(grads)
@@ -509,13 +545,20 @@ class MontageTrainer:
                                                            d_params)
                     ss = ss.at[num_layers].add(aux['sign_real'])
                     sc = sc.at[num_layers].add(1.0)
+                    st = {k: aux['stats'][k] for k in GDR1_KEYS}
                     return (optax.apply_updates(d_params, updates), opt,
-                            ss, sc)
+                            ss, sc, st)
 
+                zero_st = {k: jnp.zeros([]) for k in GDR1_KEYS}
                 carry = (variables['global_d']['params'],
-                         opt_states['global_d'], sign_sum, sign_count)
-                carry = jax.lax.cond(do_reg, do_gdr1, lambda c: c, carry)
-                (gd_p, opt_states['global_d'], sign_sum, sign_count) = carry
+                         opt_states['global_d'], sign_sum, sign_count,
+                         zero_st)
+                carry = (do_gdr1(carry) if host_scheduled
+                         else jax.lax.cond(do_reg, do_gdr1, lambda c: c,
+                                           carry))
+                (gd_p, opt_states['global_d'], sign_sum, sign_count,
+                 gdr1_st) = carry
+                stats.update({f'global/{k}': v for k, v in gdr1_st.items()})
                 variables['global_d'] = {**variables['global_d'],
                                          'params': gd_p}
 

@@ -20,3 +20,11 @@ def select_platform(name: Optional[str] = None) -> None:
     name = name or os.environ.get("MGT_PLATFORM")
     if name:
         jax.config.update("jax_platforms", name)
+    # Optional persistent compile cache (opt-in via MGT_COMPILE_CACHE).
+    # NOT enabled by default: under remote-compile relays (e.g. axon's
+    # PALLAS_AXON_REMOTE_COMPILE) CPU artifacts may be compiled on a machine
+    # with different CPU features, and loading them back SIGILLs the host.
+    cache = os.environ.get("MGT_COMPILE_CACHE")
+    if cache and cache != "off":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -139,6 +139,32 @@ def mapping_params_from_torch(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def widen_mapping_to_global(variables: Dict[str, Any],
+                            num_layers: int) -> Dict[str, Any]:
+    """MappingNetwork variables → GlobalMappingNetwork variables by repeating
+    the final layer's output parameters per image layer
+    (reference rule: custom/training_loop_aio.py:321-334).
+
+    Works on OUR flax layout: the last fc weight [in, w] tiles to
+    [in, w*num_layers]; its bias and w_avg tile along their only axis.
+    """
+    import copy
+    out = copy.deepcopy({'params': variables['params'],
+                         **({'moving_stats': variables['moving_stats']}
+                            if 'moving_stats' in variables else {})})
+    fc_names = sorted((k for k in out['params'] if k.startswith('fc')),
+                      key=lambda s: int(s[2:]))
+    last = fc_names[-1]
+    w = out['params'][last]['weight']
+    b = out['params'][last]['bias']
+    out['params'][last]['weight'] = np.tile(np.asarray(w), (1, num_layers))
+    out['params'][last]['bias'] = np.tile(np.asarray(b), num_layers)
+    if 'moving_stats' in out:
+        out['moving_stats']['w_avg'] = np.tile(
+            np.asarray(out['moving_stats']['w_avg']), num_layers)
+    return out
+
+
 def synthesis_params_from_torch(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Reference SynthesisNetwork state_dict → flax variables
     (params + 'noise' collection)."""

@@ -30,12 +30,12 @@ if HAS_REFERENCE and REFERENCE_PATH not in sys.path:
 
 import pytest  # noqa: E402
 
-# Persistent compilation cache makes repeated test runs cheap.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do NOT enable the persistent compilation cache here — this image's
+# remote-compile relay can produce CPU artifacts for a different machine's
+# feature set, and loading them back causes SIGILL/segfaults.
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))

@@ -141,3 +141,28 @@ def test_layers_to_metric_rgb():
     empty = np.zeros((1, 3, 8, 8, 4), np.float32)
     white = layers_to_metric_rgb(empty)
     np.testing.assert_allclose(white, 255.0, atol=1e-3)
+
+
+@pytest.mark.reference
+def test_widen_mapping_to_global():
+    """Mapping→GlobalMapping widening rule parity
+    (reference: custom/training_loop_aio.py:321-334): loading a plain
+    MappingNetwork checkpoint into a GlobalMappingNetwork by repeating the
+    final layer's output params per image layer — every layer's ws must then
+    equal the original mapping's ws."""
+    from montage_gan_tpu import models
+    from montage_gan_tpu.utils.torch_import import widen_mapping_to_global
+
+    m = models.MappingNetwork(z_dim=16, w_dim=16, num_ws=4, num_layers=2)
+    z = jax.random.normal(jax.random.PRNGKey(0), (3, 16))
+    mv = m.init({'params': jax.random.PRNGKey(1)}, z)
+    ws = m.apply(mv, z)
+
+    gm = models.GlobalMappingNetwork(z_dim=16, w_dim=16, num_ws=4,
+                                     num_layers=2, num_splits=5)
+    gv = widen_mapping_to_global(mv, 5)
+    gws = gm.apply(gv, z)
+    assert gws.shape == (3, 5, 4, 16)
+    for l in range(5):
+        np.testing.assert_allclose(np.asarray(gws[:, l]), np.asarray(ws),
+                                   rtol=1e-5, atol=1e-6)
