@@ -15,11 +15,24 @@ no numbers — BASELINE.md; the north-star target is ≥2× that estimate).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# TPU compile artifacts are architecture-stable on this machine; cache them so
+# repeat bench runs skip the (remote-relay, very slow) compiles.  Enabled
+# AFTER the CPU-side init below — CPU artifacts from the remote-compile relay
+# can target a different host CPU and must not be cached (SIGILL risk).
+TPU_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_tpu_cache")
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 # Estimated reference (PyTorch, A100) train_aio throughput at cfg 'aio'.
 # The reference publishes no benchmarks (BASELINE.md); this anchor is derived
@@ -41,7 +54,7 @@ def main():
 
     from montage_gan_tpu.training.phase_exec import PhaseExecutor
     from montage_gan_tpu.utils.platform import select_platform
-    select_platform()  # honors MGT_PLATFORM; enables the compile cache
+    select_platform()  # honors MGT_PLATFORM
 
     cfg = MontageConfig()  # production 9-layer 256px config (cfg 'aio')
     ens = MontageEnsemble(cfg)
@@ -51,7 +64,14 @@ def main():
     trainer = MontageTrainer(ens, hyper)
     executor = PhaseExecutor(trainer)
 
+    _log("initializing variables on CPU backend...")
+    t0 = time.time()
     state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+    _log(f"init done in {time.time() - t0:.0f}s")
+
+    # enable the (TPU-only) persistent compile cache from here on
+    jax.config.update("jax_compilation_cache_dir", TPU_CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     rng = np.random.RandomState(0)
     stack01 = synthetic_batch(rng, BATCH, cfg.num_layers, cfg.base_resolution)
@@ -61,16 +81,20 @@ def main():
 
     state = jax.device_put(state)
 
+    _log("compiling + running first step (this warms all phase programs)...")
     t_compile = time.time()
     state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(1))
     jax.block_until_ready(stats)
     compile_s = time.time() - t_compile
+    _log(f"first step (compile+run): {compile_s:.0f}s")
 
     # warm both reg-interval variants (steps where R1/PL do and don't run)
     for i in range(WARMUP_STEPS):
+        t0 = time.time()
         state, stats = executor.step(state, stack, crops,
                                      jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(stats)
+        jax.block_until_ready(stats)
+        _log(f"warmup step {i}: {time.time() - t0:.2f}s")
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):

@@ -105,6 +105,8 @@ def next_run_dir(outdir: str, desc: str) -> str:
               help='Override channel_base (testing/small runs)')
 @click.option('--channel-max', type=int, default=None)
 @click.option('--kimg-per-tick', type=int, default=4)
+@click.option('--save-all-layers', is_flag=True, default=False)
+@click.option('--run-latent-interpolation', is_flag=True, default=False)
 def main(**kwargs):
     """Train MontageGAN all-in-one on TPU."""
     opts = EasyDict(kwargs)
@@ -187,7 +189,9 @@ def main(**kwargs):
             image_snapshot_ticks=opts.img_snap,
             network_snapshot_ticks=opts.net_snap,
             random_seed=opts.seed, resume_path=resume_path,
-            metrics=metrics, run_once=opts.run_once)
+            metrics=metrics, run_once=opts.run_once,
+            save_all_layers=opts.save_all_layers,
+            run_latent_interpolation=opts.run_latent_interpolation)
     finally:
         logger.close()
 

@@ -114,6 +114,24 @@ def is50k(opts):
 
 
 @register_metric
+def ppl2_wend(opts):
+    """PPL, w-space, endpoint sampling, 50k samples in the reference
+    (metric_main.py) — sample count reduced for on-device budgets; pass a
+    pair sampler via opts.sample_pair_fn (falls back to z-space around the
+    default sampler)."""
+    from .perceptual_path_length import compute_ppl
+    pair_fn = opts.get('sample_pair_fn')
+    if pair_fn is None:
+        def pair_fn(z0, z1):
+            return opts.sample_fn(z0), opts.sample_fn(z1)
+    ppl = compute_ppl(pair_fn, opts.z_dim, opts.extractor,
+                      num_samples=2000, epsilon=1e-4, space='z',
+                      sampling='end', crop=False,
+                      batch_size=opts.batch_size, seed=opts.seed)
+    return {'ppl2_wend': ppl}
+
+
+@register_metric
 def pr50k3_full(opts):
     from .precision_recall import compute_pr
     precision, recall = compute_pr(opts, max_real=None, num_gen=50000,

@@ -110,6 +110,8 @@ def training_loop(
         progress_fn: Optional[Callable[[int, int], None]] = None,
         run_once: bool = False,
         use_phase_executor: bool = True,
+        save_all_layers: bool = False,
+        run_latent_interpolation: bool = False,
 ):
     os.makedirs(run_dir, exist_ok=True)
     if cfg is None:
@@ -239,6 +241,40 @@ def training_loop(
                             os.path.join(run_dir,
                                          f'fakes{cur_nimg // 1000:06d}.png'),
                             nrow=8)
+            if save_all_layers:
+                # every layer as an individual image
+                # (reference: training_loop_aio.py:743-748)
+                d = os.path.join(run_dir,
+                                 f'fakes-layer-all{cur_nimg // 1000:06d}')
+                os.makedirs(d, exist_ok=True)
+                from PIL import Image
+                for bi in range(b):
+                    for li in range(l):
+                        arr = (np.clip(batch01[bi, li], 0, 1) * 255
+                               ).astype(np.uint8)
+                        Image.fromarray(arr, 'RGBA').save(
+                            os.path.join(d, f'{bi:02d}_{li:02d}.png'))
+            if run_latent_interpolation:
+                # 9 rows × 8-step lerp sheet (reference: :536-550, 768-777)
+                lerp_len, lerp_num = 8, 9
+                rnd = np.random.RandomState(random_seed + 3)
+                z1 = rnd.randn(lerp_num, cfg.z_dim)
+                z2 = rnd.randn(lerp_num, cfg.z_dim)
+                zs = np.stack([z1 + (z2 - z1) * (i / (lerp_len - 1))
+                               for i in range(lerp_len)], axis=1)
+                zs = zs.reshape(lerp_num * lerp_len, cfg.z_dim)
+                sheets = []
+                for off in range(0, zs.shape[0], grid_size):
+                    out = np.asarray(sample_fn(
+                        ema_vars, jnp.asarray(zs[off:off + grid_size],
+                                              dtype=jnp.float32)))
+                    sheets.append(np.clip(out, -1, 1))
+                lerped = (np.concatenate(sheets) + 1) / 2
+                save_image_grid(alpha_composite_np(lerped),
+                                os.path.join(
+                                    run_dir,
+                                    f'interpolate{cur_nimg // 1000:06d}.png'),
+                                nrow=lerp_len)
 
         # network snapshot
         snapshot_path = None

@@ -34,6 +34,54 @@ from . import losses
 from .train_step import MontageTrainer, MontageTrainState, _nan_to_num
 
 
+def _accum_vag(loss_fn, params: Tuple, data: Tuple, rng, rounds: int):
+    """value_and_grad with gradient accumulation over microbatch rounds.
+
+    ``loss_fn(*params, *data, rng) → (loss, aux)``; data leaves have leading
+    batch dim.  Gradients are SUMMED over rounds (the reference's
+    un-normalized accumulation, custom/loss_aio.py:52-63 +
+    training_loop_aio.py:620-627); aux['stats']/aux['sign_real'] are averaged
+    over rounds; other aux entries (moving_stats, pl_mean) keep the last
+    round's value.
+    """
+    argnums = tuple(range(len(params)))
+    vag = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
+    if rounds == 1:
+        (loss, aux), grads = vag(*params, *data, rng)
+        return (loss, aux), grads
+
+    data_r = jax.tree_util.tree_map(
+        lambda x: x.reshape((rounds, x.shape[0] // rounds) + x.shape[1:]),
+        data)
+    rngs = jax.random.split(rng, rounds)
+    gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def body(gsum, xs):
+        d, r = xs
+        (loss, aux), g = vag(*params, *d, r)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+        return gsum, (loss, aux)
+
+    gsum, (loss_seq, aux_seq) = jax.lax.scan(body, gzero, (data_r, rngs))
+
+    def reduce_aux(a):
+        out = dict(a)
+        for k in ('stats',):
+            if k in out:
+                out[k] = jax.tree_util.tree_map(lambda x: jnp.mean(x),
+                                                out[k])
+        for k in ('sign_real',):
+            if k in out:
+                out[k] = jnp.mean(out[k])
+        for k in ('moving_stats', 'pl_mean'):
+            if k in out:
+                out[k] = jax.tree_util.tree_map(lambda x: x[-1], out[k])
+        return out
+
+    aux = reduce_aux(aux_seq)
+    return (jnp.mean(loss_seq), aux), gsum
+
+
 class PhaseExecutor:
     def __init__(self, trainer: MontageTrainer):
         self.trainer = trainer
@@ -60,17 +108,17 @@ class PhaseExecutor:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def fn(m_vars, g_vars, opt, d_vars, layer_idx, z, rng, aug_p):
-            def loss_fn(m_params, g_params):
+            def loss_fn(m_params, g_params, z_mb, rng_mb):
                 diff = {'mapping': {**m_vars, 'params': m_params},
                         'g': {**g_vars, 'params': g_params}}
                 return losses.local_gmain_loss(
-                    diff, ens, rep, d_vars, z, rng,
+                    diff, ens, rep, d_vars, z_mb, rng_mb,
                     self.trainer._local_aug, aug_p,
                     hyper.style_mixing_prob, layer_idx=layer_idx)
 
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(
-                m_vars['params'], g_vars['params'])
+            (loss, aux), grads = _accum_vag(
+                loss_fn, (m_vars['params'], g_vars['params']), (z,), rng,
+                hyper.accum_rounds)
             gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
             params = {'mapping': m_vars['params'], 'g': g_vars['params']}
             updates, opt = tx.update(gtree, opt, params)
@@ -92,18 +140,18 @@ class PhaseExecutor:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def fn(m_vars, g_vars, opt, layer_idx, z, rng, pl_mean_i):
-            def loss_fn(m_params, g_params):
+            def loss_fn(m_params, g_params, z_mb, rng_mb):
                 diff = {'mapping': {**m_vars, 'params': m_params},
                         'g': {**g_vars, 'params': g_params}}
                 loss, aux = losses.local_gpl_loss(
-                    diff, ens, rep, z, rng, pl_mean_i,
+                    diff, ens, rep, z_mb, rng_mb, pl_mean_i,
                     hyper.pl_batch_shrink, hyper.pl_decay, hyper.pl_weight,
                     hyper.style_mixing_prob, layer_idx=layer_idx)
                 return loss * gain, aux
 
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(
-                m_vars['params'], g_vars['params'])
+            (loss, aux), grads = _accum_vag(
+                loss_fn, (m_vars['params'], g_vars['params']), (z,), rng,
+                hyper.accum_rounds)
             gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
             params = {'mapping': m_vars['params'], 'g': g_vars['params']}
             updates, opt = tx.update(gtree, opt, params)
@@ -124,16 +172,18 @@ class PhaseExecutor:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def fn(d_vars, opt, m_vars, g_vars, layer_idx, z, real, rng, aug_p):
-            def loss_fn(d_params):
+            def loss_fn(d_params, z_mb, real_mb, rng_mb):
                 dv = {**d_vars, 'params': d_params}
                 frozen = {'mapping': m_vars, 'g': g_vars}
                 return losses.local_dmain_loss(
-                    dv, ens, rep, frozen, z, real, rng,
+                    dv, ens, rep, frozen, z_mb, real_mb, rng_mb,
                     self.trainer._local_aug, aug_p, hyper.style_mixing_prob,
                     layer_idx=layer_idx)
 
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(d_vars['params'])
+            (loss, aux), grads = _accum_vag(
+                loss_fn, (d_vars['params'],), (z, real), rng,
+                hyper.accum_rounds)
+            grads = grads[0]
             grads = _nan_to_num(grads)
             updates, opt = tx.update(grads, opt, d_vars['params'])
             d_out = {**d_vars,
@@ -153,15 +203,17 @@ class PhaseExecutor:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def fn(d_vars, opt, real, rng, aug_p):
-            def loss_fn(d_params):
+            def loss_fn(d_params, real_mb, rng_mb):
                 dv = {**d_vars, 'params': d_params}
                 loss, aux = losses.local_dr1_loss(
-                    dv, ens, rep, real, rng, self.trainer._local_aug,
+                    dv, ens, rep, real_mb, rng_mb, self.trainer._local_aug,
                     aug_p, hyper.r1_gamma)
                 return loss * gain, aux
 
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(d_vars['params'])
+            (loss, aux), grads = _accum_vag(
+                loss_fn, (d_vars['params'],), (real,), rng,
+                hyper.accum_rounds)
+            grads = grads[0]
             grads = _nan_to_num(grads)
             updates, opt = tx.update(grads, opt, d_vars['params'])
             d_out = {**d_vars,
@@ -201,12 +253,27 @@ class PhaseExecutor:
     # ------------------------------------------------------------------
 
     def step(self, state: MontageTrainState, stack, crops, rng,
-             stats_out: Optional[Dict] = None):
+             time_phases: bool = False):
         """One full training iteration; ``state.step`` drives the intervals
-        host-side.  Returns (new_state, stats)."""
+        host-side.  Returns (new_state, stats).
+
+        ``time_phases=True`` synchronizes after every phase and reports
+        ``Timing/<phase>`` wall-times (the reference's per-phase CUDA-event
+        timing, custom/training_loop_aio.py:511-516,860-865); costs pipeline
+        overlap, so enable only on tick boundaries."""
+        import time as _time
         ens, hyper = self.ens, self.hyper
         step_idx = int(state.step)
         stats: Dict[str, Any] = {}
+
+        def timed(phase_name, fn, *args, **kwargs):
+            if not time_phases:
+                return fn(*args, **kwargs)
+            t0 = _time.time()
+            out = fn(*args, **kwargs)
+            jax.block_until_ready(out)
+            stats[f'Timing/{phase_name}'] = _time.time() - t0
+            return out
         variables = dict(state.variables)
         local_g = list(variables['local_g'])
         local_d = list(variables['local_d'])
@@ -236,7 +303,8 @@ class PhaseExecutor:
                 li = jnp.asarray(i, jnp.int32)
 
                 k = prng()
-                mapping, local_g[i], opt_g[i], st = self._gmain_fn(rep)(
+                mapping, local_g[i], opt_g[i], st = timed(
+                    f'local_Gmain_{name}', self._gmain_fn(rep),
                     mapping, local_g[i], opt_g[i], local_d[i], li, zs(k),
                     jax.random.fold_in(k, 1), state.aug_p[i])
                 stats.update({f'{name}/{s}': v for s, v in st.items()})
@@ -244,7 +312,8 @@ class PhaseExecutor:
                 if (hyper.g_reg_interval is not None and hyper.pl_weight != 0
                         and step_idx % hyper.g_reg_interval == 0):
                     k = prng()
-                    mapping, local_g[i], opt_g[i], pl_i, st = self._gpl_fn(rep)(
+                    mapping, local_g[i], opt_g[i], pl_i, st = timed(
+                        f'local_Greg_{name}', self._gpl_fn(rep),
                         mapping, local_g[i], opt_g[i], li, zs(k),
                         jax.random.fold_in(k, 1), pl_mean[i])
                     pl_mean = pl_mean.at[i].set(pl_i)
@@ -253,7 +322,8 @@ class PhaseExecutor:
                     prng()
 
                 k = prng()
-                local_d[i], opt_d[i], ms, sr, st = self._dmain_fn(rep)(
+                local_d[i], opt_d[i], ms, sr, st = timed(
+                    f'local_Dmain_{name}', self._dmain_fn(rep),
                     local_d[i], opt_d[i], mapping, local_g[i], li, zs(k),
                     crops[i], jax.random.fold_in(k, 1), state.aug_p[i])
                 mapping = {**mapping, 'moving_stats': ms}
@@ -264,7 +334,8 @@ class PhaseExecutor:
                 if (hyper.d_reg_interval is not None and hyper.r1_gamma != 0
                         and step_idx % hyper.d_reg_interval == 0):
                     k = prng()
-                    local_d[i], opt_d[i], sr, st = self._dr1_fn(rep)(
+                    local_d[i], opt_d[i], sr, st = timed(
+                        f'local_Dreg_{name}', self._dr1_fn(rep),
                         local_d[i], opt_d[i], crops[i],
                         jax.random.fold_in(k, 1), state.aug_p[i])
                     sign_sum = sign_sum.at[i].add(sr)
@@ -292,7 +363,8 @@ class PhaseExecutor:
                    and step_idx % (hyper.d_reg_interval * goi) == 0)
         do_renderer = hyper.train_renderer and self.trainer._use_renderer
 
-        new_state, tail_stats = self._global_and_tail_fn()(
+        new_state, tail_stats = timed(
+            'global_and_renderer', self._global_and_tail_fn(),
             mid_state, stack, crops, jax.random.fold_in(rng, 9999),
             do_greg=False, do_dreg=do_dreg, do_global=do_global,
             do_local=False, do_renderer=do_renderer)

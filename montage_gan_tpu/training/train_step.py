@@ -69,6 +69,19 @@ class TrainHyper:
     renderer_lr: float = 1e-3
     renderer_betas: Tuple[float, float] = (0.9, 0.999)
     renderer_loss: str = 'mse'
+    # Global microbatch for gradient accumulation (reference batch_gpu ×
+    # num_gpus, custom/training_loop_aio.py:620-627): gradients of
+    # batch_size/microbatch rounds are SUMMED before each optimizer step
+    # (the reference's un-normalized accumulation). None = single pass.
+    # Honored by the PhaseExecutor's local phases.
+    microbatch: Optional[int] = None
+
+    @property
+    def accum_rounds(self) -> int:
+        if self.microbatch is None:
+            return 1
+        assert self.batch_size % self.microbatch == 0
+        return self.batch_size // self.microbatch
 
 
 @flax.struct.dataclass
@@ -137,7 +150,16 @@ class MontageTrainer:
             tree['local_g'] = tuple(v['params'] for v in variables['local_g'])
         return tree
 
-    def init_state(self, rng: jax.Array, batch: int = 1) -> MontageTrainState:
+    def init_state(self, rng: jax.Array, batch: int = 1,
+                   on_cpu: bool = True) -> MontageTrainState:
+        """Build the initial train state.  ``on_cpu`` keeps ALL init work
+        (variable init, EMA copies, optimizer-moment zeros) on the CPU
+        backend — on accelerators behind a remote-compile relay, eager init
+        ops are pathologically slow; transfer happens at first step."""
+        if on_cpu:
+            cpu = jax.devices('cpu')[0]
+            with jax.default_device(cpu):
+                return self.init_state(rng, batch=batch, on_cpu=False)
         ens, hyper = self.ens, self.hyper
         variables = ens.init_variables(rng, batch=batch)
         num_layers = ens.cfg.num_layers

@@ -77,3 +77,33 @@ def test_phase_executor_trains():
     assert 'global/Loss/G/loss' in stats
     assert 'global/Loss/D/loss' in stats
     assert 'Renderer/loss_gen' in stats
+
+
+def test_phase_executor_with_accumulation():
+    """microbatch < batch ⇒ gradient-accumulation rounds inside each local
+    phase (reference rounds semantics, training_loop_aio.py:620-627)."""
+    cfg = MontageConfig(
+        layer_names=('a',), layer_targets=((16, 16),),
+        base_resolution=16, conv_config_index=2,
+        z_dim=16, w_dim=16, mapping_num_layers=2,
+        channel_base=256, channel_max=16, num_fp16_res=0,
+        mbstd_group_size=2, stn_stages=1, renderer_type='none',
+        train_global=False)
+    ens = MontageEnsemble(cfg)
+    hyper = TrainHyper(batch_size=4, microbatch=2, augment=None,
+                       ada_target=None, g_reg_interval=2, d_reg_interval=2,
+                       train_global=False, train_renderer=False,
+                       bypass_renderer=True)
+    trainer = MontageTrainer(ens, hyper)
+    executor = PhaseExecutor(trainer)
+    state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0), batch=4))
+    stack = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 16, 16, 4),
+                               minval=-1.0, maxval=1.0)
+    crops = (stack[:, 0],)
+    for t in range(2):
+        state, stats = executor.step(state, stack, crops,
+                                     jax.random.PRNGKey(3 + t))
+    assert int(state.step) == 2
+    for leaf in jax.tree_util.tree_leaves(state.variables):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(np.asarray(stats['a/Loss/G/loss']))
