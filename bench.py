@@ -64,10 +64,23 @@ def main():
     trainer = MontageTrainer(ens, hyper)
     executor = PhaseExecutor(trainer)
 
-    _log("initializing variables on CPU backend...")
-    t0 = time.time()
-    state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
-    _log(f"init done in {time.time() - t0:.0f}s")
+    init_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_init_state.pkl")
+    if os.path.exists(init_cache):
+        import pickle
+        _log("loading cached initial state...")
+        with open(init_cache, 'rb') as f:
+            state = pickle.load(f)
+    else:
+        _log("initializing variables on CPU backend...")
+        t0 = time.time()
+        state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+        _log(f"init done in {time.time() - t0:.0f}s")
+        import pickle
+        state_host = jax.device_get(state)
+        with open(init_cache, 'wb') as f:
+            pickle.dump(state_host, f)
+        state = state_host
 
     # enable the (TPU-only) persistent compile cache from here on
     jax.config.update("jax_compilation_cache_dir", TPU_CACHE_DIR)

@@ -46,6 +46,9 @@ from ..utils.logging_utils import Logger
 @click.option('--resume', default=None)
 @click.option('--freezed', type=int, default=0)
 @click.option('--fp32', type=bool, default=False)
+@click.option('--channel-base', type=int, default=None,
+              help='Override channel_base (testing/small runs)')
+@click.option('--channel-max', type=int, default=None)
 @click.option('--dry-run', is_flag=True, default=False)
 def main(**kwargs):
     """Train a single StyleGAN2-ADA GAN on TPU."""
@@ -82,7 +85,8 @@ def main(**kwargs):
         layer_names=('image',), layer_targets=((res, res),),
         base_resolution=res, img_channels=nch, conv_config_index=2,
         mapping_num_layers=spec.map,
-        channel_base=int(spec.fmaps * 32768), channel_max=512,
+        channel_base=opts.channel_base or int(spec.fmaps * 32768),
+        channel_max=opts.channel_max or 512,
         num_fp16_res=0 if opts.fp32 else 4,
         conv_clamp=None if opts.fp32 else 256,
         mbstd_group_size=spec.mbstd,

@@ -135,6 +135,8 @@ def training_loop(
           f'{cfg.base_resolution}px, {n_dev} device(s))...')
     state = trainer.init_state(jax.random.PRNGKey(random_seed),
                                batch=hyper.batch_size)
+    from ..utils.summary import ensemble_summary
+    print(ensemble_summary(state.variables, layer_names=cfg.layer_names))
     if resume_path is not None:
         print(f'Resuming from "{resume_path}"')
         state = ckpt.restore_train_state(resume_path, state)

@@ -78,7 +78,7 @@ def run_mapping_with_mixing(ens: MontageEnsemble,
 def run_local_g(ens: MontageEnsemble, rep: int,
                 mapping_vars, g_vars, z, rng,
                 style_mixing_prob: float, update_w_avg: bool = True,
-                layer_idx=None):
+                layer_idx=None, remat: bool = False):
     """run_G for one layer (reference: custom/loss_aio.py:50-87).
     Returns (img, ws_for_layer, new_moving_stats).
 
@@ -91,8 +91,17 @@ def run_local_g(ens: MontageEnsemble, rep: int,
     ws, new_stats = run_mapping_with_mixing(ens, mapping_vars, z, k_mix,
                                             style_mixing_prob, update_w_avg)
     ws_l = ens.ws_for_layer(ws, layer_idx, num_ws=ens.local_gs[rep].num_ws)
-    img = ens.local_gs[rep].apply(g_vars, ws_l, noise_mode='random',
-                                  rngs={'noise': k_noise})
+
+    def g_apply(gv, w_in, key):
+        return ens.local_gs[rep].apply(gv, w_in, noise_mode='random',
+                                       rngs={'noise': key})
+
+    if remat:
+        # rematerialize synthesis activations in the backward pass — the
+        # global phases backprop through all 9 local Gs at once and would
+        # otherwise exceed HBM (jax.checkpoint trades FLOPs for memory)
+        g_apply = jax.checkpoint(g_apply)
+    img = g_apply(g_vars, ws_l, k_noise)
     return img, ws_l, new_stats
 
 
@@ -240,11 +249,10 @@ def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
     outs = []
     new_stats = None
     for i in range(ens.cfg.num_layers):
-        k_i = jax.random.fold_in(k_mix, i)
         img, _, stats_i = run_local_g(ens, i, diff['mapping'],
                                       diff['local_g'][i], z,
                                       jax.random.fold_in(k_noise, i),
-                                      style_mixing_prob)
+                                      style_mixing_prob, remat=True)
         # mirror the reference: every per-layer run_G updates w_avg; keep last
         new_stats = stats_i
         outs.append(img)
@@ -256,14 +264,23 @@ def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
 
 def _global_d_forward(ens: MontageEnsemble, d_vars, renderer_vars, stack,
                       aug_cfg, aug_p, rng, use_renderer: bool):
-    """run_global_D (reference: custom/loss_aio.py:245-257)."""
+    """run_global_D (reference: custom/loss_aio.py:245-257).  The renderer →
+    augment → D chain is rematerialized (memory: the global R1 double
+    backward holds this chain's activations twice otherwise)."""
+
+    def fwd(d_v, r_v, stk, p):
+        if ens.renderer is not None and use_renderer:
+            blended = ens.renderer.apply(r_v, stk)
+        else:
+            blended = normalize_minus11(alpha_composite(normalize_zero1(stk)))
+        if aug_cfg is not None:
+            blended = augment_pipe(blended, p, rng, aug_cfg)
+        return ens.global_d.apply(d_v, blended)
+
     if ens.renderer is not None and use_renderer:
-        blended = ens.renderer.apply(renderer_vars, stack)
-    else:
-        blended = normalize_minus11(alpha_composite(normalize_zero1(stack)))
-    if aug_cfg is not None:
-        blended = augment_pipe(blended, aug_p, rng, aug_cfg)
-    return ens.global_d.apply(d_vars, blended)
+        return jax.checkpoint(fwd)(d_vars, renderer_vars, stack, aug_p)
+    return jax.checkpoint(
+        lambda d_v, stk, p: fwd(d_v, None, stk, p))(d_vars, stack, aug_p)
 
 
 def global_gmain_loss(diff, ens: MontageEnsemble, frozen, z, rng,

@@ -223,26 +223,29 @@ class PhaseExecutor:
         self._fns[key] = fn
         return fn
 
-    def _global_and_tail_fn(self):
-        """Global G/D phases + renderer + EMA + ADA in one jitted program
-        (these span all layers anyway, so nothing is gained by splitting)."""
+    def _tail_fn(self):
+        """Global G/D phases, renderer, and EMA/ADA — each compiled as its
+        OWN program (static gate flags), so no single program's live set
+        exceeds HBM (the fused tail OOM'd at 23G on a 16G chip)."""
         if 'tail' in self._fns:
             return self._fns['tail']
         trainer = self.trainer
 
-        @functools.partial(jax.jit, donate_argnums=(0,),
-                           static_argnames=('do_greg', 'do_dreg',
-                                            'do_global', 'do_local',
-                                            'do_renderer'))
-        def fn(state, stack, crops, rng, do_greg, do_dreg, do_global,
-               do_local, do_renderer):
-            # reuse the monolithic step's logic with the local phases and
-            # masked conds disabled — only global+renderer+EMA+ADA remain
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            static_argnames=('do_dreg', 'do_global_g', 'do_global_d',
+                             'do_global_dmain', 'do_renderer', 'do_ema_ada'))
+        def fn(state, stack, crops, rng, do_dreg=False, do_global_g=False,
+               do_global_d=False, do_global_dmain=None, do_renderer=False,
+               do_ema_ada=False):
             return trainer.partial_step(state, stack, crops, rng,
-                                        do_local=do_local,
-                                        do_global=do_global,
-                                        do_greg=do_greg, do_dreg=do_dreg,
+                                        do_local=False, do_global=False,
+                                        do_greg=False, do_dreg=do_dreg,
+                                        do_global_g=do_global_g,
+                                        do_global_d=do_global_d,
+                                        do_global_dmain=do_global_dmain,
                                         do_renderer=do_renderer,
+                                        do_ema_ada=do_ema_ada,
                                         host_scheduled=True)
 
         self._fns['tail'] = fn
@@ -363,10 +366,30 @@ class PhaseExecutor:
                    and step_idx % (hyper.d_reg_interval * goi) == 0)
         do_renderer = hyper.train_renderer and self.trainer._use_renderer
 
-        new_state, tail_stats = timed(
-            'global_and_renderer', self._global_and_tail_fn(),
-            mid_state, stack, crops, jax.random.fold_in(rng, 9999),
-            do_greg=False, do_dreg=do_dreg, do_global=do_global,
-            do_local=False, do_renderer=do_renderer)
-        stats.update(tail_stats)
+        tail = self._tail_fn()
+        st = mid_state
+        if do_renderer:
+            st, t_stats = timed('Renderer', tail, st, stack, crops,
+                                jax.random.fold_in(rng, 9996),
+                                do_renderer=True)
+            stats.update(t_stats)
+        if do_global:
+            st, t_stats = timed('global_Gmain', tail, st, stack, crops,
+                                jax.random.fold_in(rng, 9997),
+                                do_global_g=True)
+            stats.update(t_stats)
+            st, t_stats = timed('global_Dmain', tail, st, stack, crops,
+                                jax.random.fold_in(rng, 9998),
+                                do_global_d=True, do_dreg=False)
+            stats.update(t_stats)
+        if do_dreg:
+            st, t_stats = timed('global_Dreg', tail, st, stack, crops,
+                                jax.random.fold_in(rng, 9999),
+                                do_global_d=True, do_global_dmain=False,
+                                do_dreg=True)
+            stats.update(t_stats)
+        new_state, t_stats = timed('ema_ada', tail, st, stack, crops,
+                                   jax.random.fold_in(rng, 10000),
+                                   do_ema_ada=True)
+        stats.update(t_stats)
         return new_state, stats

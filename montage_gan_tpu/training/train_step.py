@@ -230,11 +230,23 @@ class MontageTrainer:
                      do_greg: bool = True,
                      do_dreg: bool = True,
                      do_renderer: bool = True,
+                     do_global_g: Optional[bool] = None,
+                     do_global_d: Optional[bool] = None,
+                     do_global_dmain: Optional[bool] = None,
+                     do_ema_ada: bool = True,
                      host_scheduled: bool = False):
         """train_step with static phase gates.  ``host_scheduled=True`` means
         an outer scheduler (training/phase_exec.py) decides intervals on the
         host, so the in-trace ``step % interval`` masks are dropped and gated
-        sections run unconditionally when enabled."""
+        sections run unconditionally when enabled.  ``do_global_g``/
+        ``do_global_d`` refine ``do_global`` so the executor can compile each
+        global phase as its own (memory-bounded) program."""
+        if do_global_g is None:
+            do_global_g = do_global
+        if do_global_d is None:
+            do_global_d = do_global
+        if do_global_dmain is None:
+            do_global_dmain = do_global_d
         ens, hyper = self.ens, self.hyper
         num_layers = ens.cfg.num_layers
         variables = dict(state.variables)
@@ -432,9 +444,9 @@ class MontageTrainer:
                                                'params': d_p}
 
         # ---------------- Global phases -----------------------------------
-        if do_global and hyper.train_global and ens.stn is not None:
+        if ((do_global_g or do_global_d) and hyper.train_global
+                and ens.stn is not None):
             goi = hyper.global_optimize_interval
-            # ---- global_Gmain (+ theta constraint)
             k = phase_rng()
             do_glob = True if host_scheduled else (step % goi) == 0
 
@@ -476,22 +488,24 @@ class MontageTrainer:
                 return (optax.apply_updates(p, updates), opt,
                         aux['moving_stats'], st)
 
-            p0 = self._global_g_params(variables)
-            zero_st = {k: jnp.zeros([]) for k in GGMAIN_KEYS}
-            carry = (p0, opt_states['global_g'],
-                     variables['mapping']['moving_stats'], zero_st)
-            carry = (do_ggmain(carry) if host_scheduled
-                     else jax.lax.cond(do_glob, do_ggmain, lambda c: c, carry))
-            p1, opt_states['global_g'], ms, gg_st = carry
-            stats.update({f'global/{k}': v for k, v in gg_st.items()})
-            variables['mapping'] = {**variables['mapping'],
-                                    'params': p1['mapping'],
-                                    'moving_stats': ms}
-            variables['stn'] = {**variables['stn'], 'params': p1['stn']}
-            if hyper.global_g_optimize_synthesis:
-                for i in range(num_layers):
-                    variables['local_g'][i] = {**variables['local_g'][i],
-                                               'params': p1['local_g'][i]}
+            if do_global_g:
+                p0 = self._global_g_params(variables)
+                zero_st = {k: jnp.zeros([]) for k in GGMAIN_KEYS}
+                carry = (p0, opt_states['global_g'],
+                         variables['mapping']['moving_stats'], zero_st)
+                carry = (do_ggmain(carry) if host_scheduled
+                         else jax.lax.cond(do_glob, do_ggmain, lambda c: c,
+                                           carry))
+                p1, opt_states['global_g'], ms, gg_st = carry
+                stats.update({f'global/{k}': v for k, v in gg_st.items()})
+                variables['mapping'] = {**variables['mapping'],
+                                        'params': p1['mapping'],
+                                        'moving_stats': ms}
+                variables['stn'] = {**variables['stn'], 'params': p1['stn']}
+                if hyper.global_g_optimize_synthesis:
+                    for i in range(num_layers):
+                        variables['local_g'][i] = {**variables['local_g'][i],
+                                                   'params': p1['local_g'][i]}
 
             # ---- global_Dmain
             k = phase_rng()
@@ -525,21 +539,26 @@ class MontageTrainer:
                 return (optax.apply_updates(d_params, updates), opt,
                         aux['moving_stats'], ss, sc, st)
 
-            zero_st = {k: jnp.zeros([]) for k in GDMAIN_KEYS}
-            carry = (variables['global_d']['params'], opt_states['global_d'],
-                     variables['mapping']['moving_stats'], sign_sum,
-                     sign_count, zero_st)
-            carry = (do_gdmain(carry) if host_scheduled
-                     else jax.lax.cond(do_glob, do_gdmain, lambda c: c, carry))
-            (gd_p, opt_states['global_d'], ms, sign_sum, sign_count,
-             gd_st) = carry
-            stats.update({f'global/{k}': v for k, v in gd_st.items()})
-            variables['global_d'] = {**variables['global_d'], 'params': gd_p}
-            variables['mapping'] = {**variables['mapping'],
-                                    'moving_stats': ms}
+            if do_global_dmain:
+                zero_st = {k: jnp.zeros([]) for k in GDMAIN_KEYS}
+                carry = (variables['global_d']['params'],
+                         opt_states['global_d'],
+                         variables['mapping']['moving_stats'], sign_sum,
+                         sign_count, zero_st)
+                carry = (do_gdmain(carry) if host_scheduled
+                         else jax.lax.cond(do_glob, do_gdmain, lambda c: c,
+                                           carry))
+                (gd_p, opt_states['global_d'], ms, sign_sum, sign_count,
+                 gd_st) = carry
+                stats.update({f'global/{k}': v for k, v in gd_st.items()})
+                variables['global_d'] = {**variables['global_d'],
+                                         'params': gd_p}
+                variables['mapping'] = {**variables['mapping'],
+                                        'moving_stats': ms}
 
             # ---- global_Dreg (R1)
-            if (hyper.d_reg_interval is not None
+            if (do_global_d
+                    and hyper.d_reg_interval is not None
                     and hyper.global_r1_gamma != 0
                     and (do_dreg or not host_scheduled)):
                 k = phase_rng()
@@ -585,6 +604,18 @@ class MontageTrainer:
                                          'params': gd_p}
 
         # ---------------- EMA (reference: training_loop_aio.py:640-666) ----
+        if not do_ema_ada:
+            variables['local_g'] = tuple(variables['local_g'])
+            variables['local_d'] = tuple(variables['local_d'])
+            if 'local_g' in opt_states:
+                opt_states['local_g'] = tuple(opt_states['local_g'])
+                opt_states['local_d'] = tuple(opt_states['local_d'])
+            mid = MontageTrainState(
+                variables=variables, ema=state.ema, opt_states=opt_states,
+                pl_mean=pl_mean, aug_p=state.aug_p, ada_sign_sum=sign_sum,
+                ada_sign_count=sign_count, step=step)
+            return mid, stats
+
         cur_nimg = (step.astype(jnp.float32) + 1.0) * hyper.batch_size
         ema_nimg = hyper.ema_kimg * 1000.0
         if hyper.ema_rampup is not None:
