@@ -29,7 +29,8 @@ def parse_range(s: str) -> List[int]:
 
 @click.command()
 @click.option('--network', 'network_path', required=True, metavar='PATH',
-              help='EMA snapshot (.msgpack, with sibling .json)')
+              help='EMA snapshot (.msgpack, with sibling .json) or a '
+                   'reference SG2-ADA .pkl (loaded safely, no source exec)')
 @click.option('--seeds', type=parse_range, required=True)
 @click.option('--trunc', 'truncation_psi', type=float, default=1.0)
 @click.option('--noise-mode', type=click.Choice(['const', 'random', 'none']),
@@ -52,6 +53,30 @@ def main(network_path, seeds, truncation_psi, noise_mode, outdir,
     from ..utils.image_utils import normalize_zero1
 
     os.makedirs(outdir, exist_ok=True)
+
+    if network_path.endswith('.pkl'):
+        # Reference SG2-ADA snapshot: single monolithic generator
+        # (reference flow: generate.py:86-124 — z → G → RGBA PNG).
+        from ..utils.pkl_import import generator_from_pkl
+        mapping, map_vars, synthesis, syn_vars, kw = \
+            generator_from_pkl(network_path)
+
+        @jax.jit
+        def sample_pkl(z):
+            ws = mapping.apply(map_vars, z, truncation_psi=truncation_psi)
+            img = synthesis.apply(syn_vars, ws, noise_mode=noise_mode)
+            return jnp.clip(img * 0.5 + 0.5, 0, 1)  # [-1,1] → [0,1]
+
+        for seed in seeds:
+            print(f'Generating image for seed {seed} ...')
+            z = jnp.asarray(np.random.RandomState(seed).randn(1, kw['z_dim']),
+                            dtype=jnp.float32)
+            img = np.asarray(sample_pkl(z)[0])
+            u8 = (img * 255 + 0.5).astype(np.uint8)
+            mode = 'RGBA' if u8.shape[-1] == 4 else 'RGB'
+            Image.fromarray(u8, mode).save(f'{outdir}/seed{seed:04d}.png')
+        return
+
     cfg, ens, tree = load_ema_snapshot(network_path)
 
     @jax.jit

@@ -30,9 +30,12 @@ import numpy as np
 @click.option('--num-steps', type=int, default=1000)
 @click.option('--seed', type=int, default=303)
 @click.option('--save-video', is_flag=True, default=False)
+@click.option('--optimize-noise/--no-optimize-noise', default=True,
+              help='Co-optimize per-layer noise buffers with decorrelation '
+                   'regularization (reference: projector.py:71-77,106-114)')
 @click.option('--outdir', required=True)
 def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
-         outdir):
+         optimize_noise, outdir):
     """Project a target image into the latent space of a snapshot."""
     from ..utils.platform import select_platform
     select_platform()
@@ -63,8 +66,23 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
 
     extractor = RandomFeatures(seed=1)
 
-    def render(ws):
-        stack = ens.synthesize_layers(tree, ws, noise_mode='const')
+    # trainable per-layer noise buffers (reference: projector.py:56-59 —
+    # noise_bufs are randn-reinitialized and co-optimized with w)
+    noise_init = tuple(gv.get('noise') for gv in tree['local_g'])
+    if optimize_noise:
+        key_n = jax.random.PRNGKey(seed + 7)
+        noise_init = jax.tree_util.tree_map(
+            lambda n: jax.random.normal(
+                jax.random.fold_in(key_n, n.size), n.shape), noise_init)
+
+    def render(ws, noise_trees=None):
+        if noise_trees is not None:
+            g_vars = tuple({**gv, 'noise': nt} if nt else gv
+                           for gv, nt in zip(tree['local_g'], noise_trees))
+            vtree = {**tree, 'local_g': g_vars}
+        else:
+            vtree = tree
+        stack = ens.synthesize_layers(vtree, ws, noise_mode='const')
         if ens.stn is not None and layer_idx is None:
             stack, _ = ens.stn.apply(tree['stn'], stack)
         if layer_idx is not None:
@@ -87,12 +105,38 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
     lr_rampup_length = 0.05
     noise_ramp_length = 0.75
 
+    regularize_noise_weight = 1e5  # (reference: projector.py:35)
+
+    def noise_reg(noise_trees):
+        """Multi-scale autocorrelation penalty on each noise buffer
+        (reference: projector.py:106-114)."""
+        reg = 0.0
+        for leaf in jax.tree_util.tree_leaves(noise_trees):
+            n = leaf[None, :, :, None]  # [1, H, W, 1]
+            while True:
+                reg = reg + jnp.mean(n * jnp.roll(n, 1, axis=2)) ** 2
+                reg = reg + jnp.mean(n * jnp.roll(n, 1, axis=1)) ** 2
+                if min(n.shape[1], n.shape[2]) <= 8:
+                    break
+                n = jax.lax.reduce_window(
+                    n, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+                    'VALID') / 4.0
+        return reg
+
+    def normalize_noise(noise_trees):
+        """Zero-mean/unit-std renormalization after each step
+        (reference: projector.py:127-131)."""
+        return jax.tree_util.tree_map(
+            lambda n: (n - jnp.mean(n)) / (jnp.std(n) + 1e-8), noise_trees)
+
     tx = optax.adam(initial_lr, b1=0.9, b2=0.999)
-    w_opt = jnp.zeros_like(w_avg) + w_avg
-    opt_state = tx.init(w_opt)
+    params = {'w': jnp.zeros_like(w_avg) + w_avg}
+    if optimize_noise:
+        params['noise'] = noise_init
+    opt_state = tx.init(params)
 
     @jax.jit
-    def step(w_opt, opt_state, t, key):
+    def step(params, opt_state, t, key):
         w_noise_scale = (w_std * initial_noise_factor
                          * jnp.maximum(0.0, 1.0 - t / noise_ramp_length) ** 2)
         lr_ramp = jnp.minimum(1.0, (1.0 - t) / lr_rampdown_length)
@@ -100,31 +144,39 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
         lr_ramp = lr_ramp * jnp.minimum(1.0, t / lr_rampup_length)
         lr = initial_lr * lr_ramp
 
-        def loss_fn(w):
-            w_in = w + jax.random.normal(key, w.shape) * w_noise_scale
-            out01 = render(w_in)
-            return distance(out01, target01)
+        def loss_fn(p):
+            w_in = p['w'] + jax.random.normal(key, p['w'].shape) * w_noise_scale
+            out01 = render(w_in, p.get('noise'))
+            d = distance(out01, target01)
+            if 'noise' in p:
+                d = d + noise_reg(p['noise']) * regularize_noise_weight
+            return d
 
-        loss, grads = jax.value_and_grad(loss_fn)(w_opt)
-        updates, opt_state = tx.update(grads, opt_state, w_opt)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
         # emulate per-step lr by scaling the update (optax adam used lr=0.1)
         updates = jax.tree_util.tree_map(lambda u: u * (lr / initial_lr),
                                          updates)
-        return optax.apply_updates(w_opt, updates), opt_state, loss
+        params = optax.apply_updates(params, updates)
+        if 'noise' in params:
+            params['noise'] = normalize_noise(params['noise'])
+        return params, opt_state, loss
 
     print(f'Projecting for {num_steps} steps...')
     frames = []
     for i in range(num_steps):
         t = i / num_steps
-        w_opt, opt_state, loss = step(w_opt, opt_state, t,
-                                      jax.random.fold_in(
-                                          jax.random.PRNGKey(seed + 1), i))
+        params, opt_state, loss = step(params, opt_state, t,
+                                       jax.random.fold_in(
+                                           jax.random.PRNGKey(seed + 1), i))
         if (i + 1) % 100 == 0:
             print(f'step {i + 1:4d}/{num_steps}: dist {float(loss):.4f}')
         if save_video and i % 10 == 0:
-            frames.append(np.asarray(render(w_opt)[0]))
+            frames.append(np.asarray(
+                render(params['w'], params.get('noise'))[0]))
 
-    out01 = np.asarray(render(w_opt)[0])
+    w_opt = params['w']
+    out01 = np.asarray(render(w_opt, params.get('noise'))[0])
     Image.fromarray((np.clip(out01, 0, 1) * 255).astype(np.uint8),
                     'RGBA').save(os.path.join(outdir, 'proj.png'))
     img.save(os.path.join(outdir, 'target.png'))

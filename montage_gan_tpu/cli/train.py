@@ -68,10 +68,12 @@ def main(**kwargs):
     from ..utils.grid import save_image_grid
     from ..utils.training_stats import Collector, JsonlWriter, StatsAccumulator
 
-    if opts.cond:
-        raise click.UsageError('conditional training not yet supported')
-
-    dataset = ImageFolderDataset(opts.data, xflip=opts.mirror)
+    dataset = ImageFolderDataset(opts.data, xflip=opts.mirror,
+                                 use_labels=opts.cond)
+    if opts.cond and not dataset.has_labels:
+        raise click.UsageError(
+            '--cond=True requires labels in dataset.json '
+            '(reference contract: train.py --cond)')
     res = dataset.resolution
     nch = dataset.num_channels
     n_dev = opts.num_devices or len(jax.devices())
@@ -84,6 +86,8 @@ def main(**kwargs):
     cfg = MontageConfig(
         layer_names=('image',), layer_targets=((res, res),),
         base_resolution=res, img_channels=nch, conv_config_index=2,
+        c_dim=dataset.label_dim if opts.cond else 0,
+        freeze_d_layers=opts.freezed,
         mapping_num_layers=spec.map,
         channel_base=opts.channel_base or int(spec.fmaps * 32768),
         channel_max=opts.channel_max or 512,
@@ -121,28 +125,45 @@ def main(**kwargs):
     if opts.resume:
         state = ckpt.restore_train_state(opts.resume, state)
     state = replicate(mesh, state)
-    step_fn = make_parallel_train_step(trainer, mesh)
+    step_fn = make_parallel_train_step(trainer, mesh,
+                                       with_labels=opts.cond)
 
     sampler = iter(InfiniteSampler(len(dataset), seed=opts.seed))
+    label_rng = np.random.RandomState(opts.seed + 2)
     acc = StatsAccumulator()
     collector = Collector(acc)
     jsonl = JsonlWriter(os.path.join(run_dir, 'stats.jsonl'))
 
     def fetch_batch():
-        imgs = np.stack([dataset[next(sampler)][0] for _ in range(batch)])
-        return imgs.astype(np.float32) / 127.5 - 1.0  # [-1, 1] NHWC
+        idx = [next(sampler) for _ in range(batch)]
+        imgs = np.stack([dataset[i][0] for i in idx])
+        imgs = imgs.astype(np.float32) / 127.5 - 1.0  # [-1, 1] NHWC
+        if not opts.cond:
+            return imgs, None, None
+        real_c = np.stack([dataset.get_label(i) for i in idx])
+        # gen label pool drawn from the dataset label distribution
+        # (reference: training_loop.py all_gen_c sampling)
+        gen_c = np.stack([dataset.get_label(
+            label_rng.randint(len(dataset))) for _ in range(batch)])
+        return imgs, real_c.astype(np.float32), gen_c.astype(np.float32)
 
     total_kimg = opts.kimg or spec.kimg
     cur_nimg, cur_tick = 0, 0
     tick_start, t0 = 0, time.time()
     print(f'Training for {total_kimg} kimg...')
     while cur_nimg < total_kimg * 1000:
-        real = jnp.asarray(fetch_batch())
+        real_np, real_c, gen_c = fetch_batch()
+        real = jnp.asarray(real_np)
         # single-layer "stack" view of the same batch
         stack = shard_batch(mesh, real[:, None])
         crops = shard_batch(mesh, (real,))
         rng = jax.random.fold_in(jax.random.PRNGKey(opts.seed + 1), cur_nimg)
-        state, stats = step_fn(state, stack, crops, replicate(mesh, rng))
+        if opts.cond:
+            state, stats = step_fn(state, stack, crops, replicate(mesh, rng),
+                                   shard_batch(mesh, jnp.asarray(real_c)),
+                                   shard_batch(mesh, jnp.asarray(gen_c)))
+        else:
+            state, stats = step_fn(state, stack, crops, replicate(mesh, rng))
         cur_nimg += batch
         acc.report_dict({k: np.asarray(v) for k, v in stats.items()})
 
@@ -160,7 +181,10 @@ def main(**kwargs):
                     os.path.join(run_dir, f'ema-snapshot-{cur_nimg // 1000:06d}'),
                     cfg, dict(host.ema))
                 z = jax.random.normal(jax.random.PRNGKey(0), (16, cfg.z_dim))
-                ws = ens.mapping.apply(host.ema['mapping'], z)
+                grid_c = (jnp.asarray(np.stack(
+                    [dataset.get_label(i % len(dataset)) for i in range(16)],
+                ).astype(np.float32)) if opts.cond else None)
+                ws = ens.mapping.apply(host.ema['mapping'], z, grid_c)
                 imgs = ens.local_gs[0].apply(host.ema['local_g'][0],
                                              ens.ws_for_layer(ws, 0),
                                              noise_mode='const')

@@ -164,6 +164,18 @@ class DatasetAIO:
     def layer_targets(self) -> Tuple[Tuple[int, int], ...]:
         return tuple(tuple(self._layer_size(n)) for n in self.layer_names)
 
+    def item_paths(self) -> List[List[str]]:
+        """Per-raw-item sorted layer PNG paths (for the native loader)."""
+        out = []
+        for d in self._dirs:
+            dp = os.path.join(self.path, d)
+            out.append([os.path.join(dp, f) for f in sorted(os.listdir(dp))])
+        return out
+
+    @property
+    def image_shape(self) -> Tuple[int, int]:
+        return self._raw_shape[2], self._raw_shape[3]
+
     # -- access ----------------------------------------------------------
     def __len__(self) -> int:
         return len(self.raw_idx)

@@ -76,21 +76,35 @@ class RandomFeatures:
 
 
 class InceptionV3Features:
-    """InceptionV3 pool3 features from converted weights (optional)."""
+    """InceptionV3 pool3 features (FID variant) from converted weights.
+
+    With the standard FID weights (pytorch-fid's
+    ``pt_inception-2015-12-05-*.pth``, same Inception-2015-12-05 graph the
+    reference downloads — reference: metrics/frechet_inception_distance.py:23)
+    this reproduces standard/absolute FID.  Convert once with
+    ``python -m montage_gan_tpu.utils.convert_inception in.pth out.npz`` and
+    point ``MGT_INCEPTION_WEIGHTS`` at the ``.npz``.
+    """
 
     name = 'inception_v3'
     feature_dim = 2048
 
     def __init__(self, weights_path: Optional[str] = None):
+        from . import inception_net
         self.weights_path = weights_path or os.environ.get(
             'MGT_INCEPTION_WEIGHTS')
         if not self.weights_path or not os.path.exists(self.weights_path):
             raise FileNotFoundError(
                 'InceptionV3 weights not available. Convert the standard '
-                'detector and point MGT_INCEPTION_WEIGHTS at the .msgpack, '
-                'or use feature_extractor="random" for relative metrics.')
-        raise NotImplementedError(
-            'InceptionV3 flax port pending; use RandomFeatures meanwhile.')
+                'detector (utils/convert_inception.py) and point '
+                'MGT_INCEPTION_WEIGHTS at the .npz, or use '
+                'feature_extractor="random" for relative metrics.')
+        self._params = inception_net.load_params(self.weights_path)
+        self._apply = jax.jit(inception_net.apply)
+
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [N, H, W, 3] float in [0, 255] → [N, 2048]."""
+        return self._apply(self._params, jnp.asarray(images, jnp.float32))
 
 
 def build_extractor(kind: str = 'auto', **kwargs):

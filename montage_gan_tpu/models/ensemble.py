@@ -42,6 +42,8 @@ class MontageConfig:
     conv_config_index: int = 3   # AIO default (reference training_loop_aio.py:58)
     z_dim: int = 512
     w_dim: int = 512
+    c_dim: int = 0               # conditioning label dim (train.py path)
+    freeze_d_layers: int = 0     # Freeze-D (reference --freezed, train.py)
     mapping_num_layers: int = 8
     channel_base: int = 16384    # cfg 'aio': fmaps 0.5 × 32768 (train_aio.py:179,209)
     channel_max: int = 512
@@ -87,20 +89,23 @@ class MontageEnsemble:
                 num_fp16_res=cfg.num_fp16_res, conv_clamp=cfg.conv_clamp))
             self.local_ds.append(Discriminator(
                 img_resolution=res, img_channels=cfg.img_channels,
+                c_dim=cfg.c_dim,
                 init_res=init_res, conv_config_index=cfg.conv_config_index,
                 channel_base=cfg.channel_base, channel_max=cfg.channel_max,
                 num_fp16_res=cfg.num_fp16_res, conv_clamp=cfg.conv_clamp,
-                mbstd_group_size=cfg.mbstd_group_size))
+                mbstd_group_size=cfg.mbstd_group_size,
+                freeze_layers=cfg.freeze_d_layers))
 
         self.num_ws = max(g.num_ws for g in self.local_gs)
         if cfg.use_global_mapping:
             self.mapping = GlobalMappingNetwork(
-                z_dim=cfg.z_dim, w_dim=cfg.w_dim, num_ws=self.num_ws,
-                num_layers=cfg.mapping_num_layers, num_splits=cfg.num_layers)
+                z_dim=cfg.z_dim, c_dim=cfg.c_dim, w_dim=cfg.w_dim,
+                num_ws=self.num_ws, num_layers=cfg.mapping_num_layers,
+                num_splits=cfg.num_layers)
         else:
             self.mapping = MappingNetwork(
-                z_dim=cfg.z_dim, w_dim=cfg.w_dim, num_ws=self.num_ws,
-                num_layers=cfg.mapping_num_layers)
+                z_dim=cfg.z_dim, c_dim=cfg.c_dim, w_dim=cfg.w_dim,
+                num_ws=self.num_ws, num_layers=cfg.mapping_num_layers)
 
         self.stn = None
         self.global_d = None
@@ -144,9 +149,10 @@ class MontageEnsemble:
         cfg = self.cfg
         keys = jax.random.split(key, 5 + 2 * cfg.num_layers)
         z = jnp.zeros((batch, cfg.z_dim))
+        c = jnp.zeros((batch, cfg.c_dim)) if cfg.c_dim > 0 else None
         variables: Dict[str, Any] = {}
         variables['mapping'] = self.mapping.init(
-            {'params': keys[0]}, z)
+            {'params': keys[0]}, z, c)
         variables['local_g'] = []
         variables['local_d'] = []
         for i in range(cfg.num_layers):
@@ -159,7 +165,7 @@ class MontageEnsemble:
             th, tw = cfg.layer_targets[i]
             img = jnp.zeros((batch, th, tw, cfg.img_channels))
             variables['local_d'].append(self.local_ds[i].init(
-                {'params': jax.random.fold_in(keys[2], i)}, img))
+                {'params': jax.random.fold_in(keys[2], i)}, img, c))
         if self.stn is not None:
             stack = jnp.zeros((batch, cfg.num_layers, cfg.base_resolution,
                                cfg.base_resolution, cfg.img_channels))

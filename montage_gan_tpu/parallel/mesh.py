@@ -66,19 +66,31 @@ def assert_replicated(tree: Any, mesh: Mesh) -> None:
 
 
 def make_parallel_train_step(trainer, mesh: Mesh, axis_name: str = 'data',
-                             donate_state: bool = True):
+                             donate_state: bool = True,
+                             with_labels: bool = False):
     """jit the trainer's step with replicated state and data-sharded batches.
 
     The returned function has signature
     ``(state, real_stack, real_crops, rng) → (state, stats)`` with
     ``real_stack``/``real_crops`` sharded along their leading (batch) axis.
+    With ``with_labels=True`` (conditional training) the signature gains
+    ``(…, real_c, gen_c)``, both batch-sharded ``[B, c_dim]``.
     """
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh, axis_name)
 
+    if with_labels:
+        def step_fn(state, real_stack, real_crops, rng, real_c, gen_c):
+            return trainer.train_step(state, real_stack, real_crops, rng,
+                                      real_c=real_c, gen_c=gen_c)
+        in_shardings = (repl, data, data, repl, data, data)
+    else:
+        step_fn = trainer.train_step
+        in_shardings = (repl, data, data, repl)
+
     step = jax.jit(
-        trainer.train_step,
-        in_shardings=(repl, data, data, repl),
+        step_fn,
+        in_shardings=in_shardings,
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )

@@ -40,26 +40,50 @@ from .train_step import MontageTrainer, MontageTrainState, TrainHyper
 
 
 class BatchPrefetcher:
-    """Background thread producing (stack[-1,1], crops[-1,1]) numpy batches."""
+    """Background thread producing (stack[-1,1], crops[-1,1]) numpy batches.
+
+    Decode runs in the native C++ thread pool when available
+    (data/native_loader.py; the reference's DataLoader-worker-process
+    analogue, custom/training_loop_aio.py:240-244), with the PIL path as
+    fallback — sampling order is identical either way."""
 
     def __init__(self, dataset: DatasetAIO, batch_size: int,
                  layer_targets, seed: int = 0, rank: int = 0,
-                 num_replicas: int = 1, depth: int = 3):
+                 num_replicas: int = 1, depth: int = 3,
+                 use_native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.layer_targets = [list(t) for t in layer_targets]
         self.sampler = iter(InfiniteSampler(len(dataset), rank=rank,
                                             num_replicas=num_replicas,
                                             seed=seed))
+        self.native = None
+        if use_native:
+            try:
+                from ..data.native_loader import NativeBatchLoader
+                h, w = dataset.image_shape
+                loader = NativeBatchLoader(dataset.item_paths(), h, w,
+                                           dataset.num_channels)
+                if loader.is_native:
+                    self.native = loader
+            except Exception:
+                pass
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = False
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
+    def _fetch_stack01(self):
+        idxs = [next(self.sampler) for _ in range(self.batch_size)]
+        if self.native is not None:
+            raw = self.dataset.raw_idx[idxs]
+            flips = self.dataset.is_xflip[idxs]
+            return self.native.next_batch(raw, flips)
+        return np.stack([self.dataset[i] for i in idxs])  # [B,L,H,W,4]
+
     def _worker(self):
         while not self._stop:
-            idxs = [next(self.sampler) for _ in range(self.batch_size)]
-            stack01 = np.stack([self.dataset[i] for i in idxs])  # [B,L,H,W,4]
+            stack01 = self._fetch_stack01()
             crops = make_batch_for_local_d_np(stack01, self.layer_targets,
                                               to_minus11=True)
             self.q.put((stack01 * 2.0 - 1.0, tuple(crops)))

@@ -51,12 +51,16 @@ def run_mapping_with_mixing(ens: MontageEnsemble,
                             z: jax.Array,
                             rng: jax.Array,
                             style_mixing_prob: float,
-                            update_w_avg: bool = True):
+                            update_w_avg: bool = True,
+                            c: Optional[jax.Array] = None):
     """z → ws with style mixing (reference: custom/loss_aio.py:67-82).
 
     Returns (ws, new_moving_stats).  The dynamic cutoff slice becomes a mask
-    over the num_ws axis (TPU-friendly, no data-dependent shapes)."""
-    out, mut = ens.mapping.apply(mapping_vars, z, update_w_avg=update_w_avg,
+    over the num_ws axis (TPU-friendly, no data-dependent shapes).  ``c`` is
+    the optional conditioning label, shared by the mixing branch exactly as
+    the reference's run_G passes the same c to both mapping calls."""
+    out, mut = ens.mapping.apply(mapping_vars, z, c,
+                                 update_w_avg=update_w_avg,
                                  mutable=['moving_stats'])
     ws = out
     if style_mixing_prob > 0:
@@ -68,7 +72,7 @@ def run_mapping_with_mixing(ens: MontageEnsemble,
         z2 = jax.random.normal(k3, z.shape, dtype=z.dtype)
         ws2 = ens.mapping.apply({**mapping_vars,
                                  'moving_stats': mut['moving_stats']},
-                                z2, update_w_avg=False)
+                                z2, c, update_w_avg=False)
         idx = jnp.arange(num_ws)
         mask = (idx >= cutoff).reshape((1,) * (ws.ndim - 2) + (num_ws, 1))
         ws = jnp.where(mask, ws2, ws)
@@ -78,7 +82,8 @@ def run_mapping_with_mixing(ens: MontageEnsemble,
 def run_local_g(ens: MontageEnsemble, rep: int,
                 mapping_vars, g_vars, z, rng,
                 style_mixing_prob: float, update_w_avg: bool = True,
-                layer_idx=None, remat: bool = False):
+                layer_idx=None, remat: bool = False,
+                c: Optional[jax.Array] = None):
     """run_G for one layer (reference: custom/loss_aio.py:50-87).
     Returns (img, ws_for_layer, new_moving_stats).
 
@@ -89,7 +94,8 @@ def run_local_g(ens: MontageEnsemble, rep: int,
         layer_idx = rep
     k_mix, k_noise = jax.random.split(rng)
     ws, new_stats = run_mapping_with_mixing(ens, mapping_vars, z, k_mix,
-                                            style_mixing_prob, update_w_avg)
+                                            style_mixing_prob, update_w_avg,
+                                            c=c)
     ws_l = ens.ws_for_layer(ws, layer_idx, num_ws=ens.local_gs[rep].num_ws)
 
     def g_apply(gv, w_in, key):
@@ -106,11 +112,11 @@ def run_local_g(ens: MontageEnsemble, rep: int,
 
 
 def run_d(ens_d, d_vars, img, aug_cfg: Optional[AugmentConfig],
-          aug_p, rng):
+          aug_p, rng, c: Optional[jax.Array] = None):
     """AugmentPipe → D (reference: custom/loss_aio.py:89-94)."""
     if aug_cfg is not None:
         img = augment_pipe(img, aug_p, rng, aug_cfg)
-    return ens_d.apply(d_vars, img)
+    return ens_d.apply(d_vars, img, c)
 
 
 # ---------------------------------------------------------------------------
@@ -119,14 +125,14 @@ def run_d(ens_d, d_vars, img, aug_cfg: Optional[AugmentConfig],
 
 def local_gmain_loss(diff, ens: MontageEnsemble, rep: int,
                      frozen_d_vars, z, rng, aug_cfg, aug_p,
-                     style_mixing_prob=0.9, layer_idx=None):
+                     style_mixing_prob=0.9, layer_idx=None, c=None):
     """diff = {'mapping': mapping variables, 'g': local G variables}."""
     k_g, k_aug = jax.random.split(rng)
     img, _, new_stats = run_local_g(ens, rep, diff['mapping'], diff['g'],
                                     z, k_g, style_mixing_prob,
-                                    layer_idx=layer_idx)
+                                    layer_idx=layer_idx, c=c)
     logits = run_d(ens.local_ds[rep], frozen_d_vars, img,
-                   aug_cfg, aug_p, k_aug)
+                   aug_cfg, aug_p, k_aug, c=c)
     loss = jnp.mean(softplus(-logits))
     aux = {'moving_stats': new_stats,
            'stats': {'Loss/scores/fake': jnp.mean(logits),
@@ -137,7 +143,8 @@ def local_gmain_loss(diff, ens: MontageEnsemble, rep: int,
 
 def local_gpl_loss(diff, ens: MontageEnsemble, rep: int,
                    z, rng, pl_mean, pl_batch_shrink=2, pl_decay=0.01,
-                   pl_weight=2.0, style_mixing_prob=0.9, layer_idx=None):
+                   pl_weight=2.0, style_mixing_prob=0.9, layer_idx=None,
+                   c=None):
     """Path-length regularizer (reference: custom/loss_aio.py:115-137).
     Differentiates G w.r.t. ws with weights stopped (no_weight_gradients),
     then penalizes ‖∇‖ deviation from the running mean."""
@@ -145,9 +152,11 @@ def local_gpl_loss(diff, ens: MontageEnsemble, rep: int,
         layer_idx = rep
     batch = z.shape[0] // pl_batch_shrink
     z = z[:batch]
+    if c is not None:
+        c = c[:batch]
     k_mix, k_noise, k_pl = jax.random.split(rng, 3)
     ws, new_stats = run_mapping_with_mixing(ens, diff['mapping'], z, k_mix,
-                                            style_mixing_prob)
+                                            style_mixing_prob, c=c)
     ws_l = ens.ws_for_layer(ws, layer_idx, num_ws=ens.local_gs[rep].num_ws)
 
     th, tw = ens.cfg.layer_targets[rep]
@@ -180,19 +189,20 @@ def local_gpl_loss(diff, ens: MontageEnsemble, rep: int,
 
 def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
                      frozen, z, real_img, rng, aug_cfg, aug_p,
-                     style_mixing_prob=0.9, layer_idx=None):
+                     style_mixing_prob=0.9, layer_idx=None,
+                     gen_c=None, real_c=None):
     """Dgen + Dreal (reference: custom/loss_aio.py:139-164).
     frozen = {'mapping', 'g'} variables (no grads)."""
     k_g, k_aug1, k_aug2 = jax.random.split(rng, 3)
     gen_img, _, new_stats = run_local_g(ens, rep, frozen['mapping'],
                                         frozen['g'], z, k_g,
                                         style_mixing_prob,
-                                        layer_idx=layer_idx)
+                                        layer_idx=layer_idx, c=gen_c)
     gen_img = jax.lax.stop_gradient(gen_img)
     gen_logits = run_d(ens.local_ds[rep], diff_d_vars, gen_img,
-                       aug_cfg, aug_p, k_aug1)
+                       aug_cfg, aug_p, k_aug1, c=gen_c)
     real_logits = run_d(ens.local_ds[rep], diff_d_vars, real_img,
-                        aug_cfg, aug_p, k_aug2)
+                        aug_cfg, aug_p, k_aug2, c=real_c)
     loss_dgen = jnp.mean(softplus(gen_logits))
     loss_dreal = jnp.mean(softplus(-real_logits))
     aux = {'moving_stats': new_stats,
@@ -206,7 +216,8 @@ def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
 
 
 def local_dr1_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
-                   real_img, rng, aug_cfg, aug_p, r1_gamma=10.0):
+                   real_img, rng, aug_cfg, aug_p, r1_gamma=10.0,
+                   real_c=None):
     """R1 penalty (reference: custom/loss_aio.py:151-179).  The gradient is
     taken w.r.t. the real image THROUGH the augmentation pipe; the outer grad
     reaches D's weights through this inner grad (double backward), exactly as
@@ -214,7 +225,7 @@ def local_dr1_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
 
     def d_sum(img):
         logits = run_d(ens.local_ds[rep], diff_d_vars, img,
-                       aug_cfg, aug_p, rng)
+                       aug_cfg, aug_p, rng, c=real_c)
         return jnp.sum(logits), logits
 
     r1_grads, real_logits = jax.grad(d_sum, has_aux=True)(real_img)

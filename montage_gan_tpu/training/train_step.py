@@ -205,7 +205,9 @@ class MontageTrainer:
     def train_step(self, state: MontageTrainState,
                    real_stack: jax.Array,
                    real_crops: Tuple[jax.Array, ...],
-                   rng: jax.Array):
+                   rng: jax.Array,
+                   real_c: Optional[jax.Array] = None,
+                   gen_c: Optional[jax.Array] = None):
         """One full training iteration (all phases in one traced program).
 
         Args:
@@ -216,10 +218,17 @@ class MontageTrainer:
                 [-1, 1] (reference phase_real_list_of_bchw, :602-604; host-
                 prepared, see utils/image_utils.make_batch_for_local_d_np).
             rng: step PRNG key.
+            real_c: optional ``[B, c_dim]`` labels of the reals
+                (conditional train.py path; reference training_loop.py
+                phase_real_c).
+            gen_c: optional ``[B, c_dim]`` label pool for generated samples,
+                re-permuted per phase (reference samples fresh phase_gen_c
+                per phase from the dataset label distribution).
         Returns:
             (new_state, stats dict of scalars).
         """
-        return self.partial_step(state, real_stack, real_crops, rng)
+        return self.partial_step(state, real_stack, real_crops, rng,
+                                 real_c=real_c, gen_c=gen_c)
 
     def partial_step(self, state: MontageTrainState,
                      real_stack: jax.Array,
@@ -234,7 +243,9 @@ class MontageTrainer:
                      do_global_d: Optional[bool] = None,
                      do_global_dmain: Optional[bool] = None,
                      do_ema_ada: bool = True,
-                     host_scheduled: bool = False):
+                     host_scheduled: bool = False,
+                     real_c: Optional[jax.Array] = None,
+                     gen_c: Optional[jax.Array] = None):
         """train_step with static phase gates.  ``host_scheduled=True`` means
         an outer scheduler (training/phase_exec.py) decides intervals on the
         host, so the in-trace ``step % interval`` masks are dropped and gated
@@ -272,6 +283,14 @@ class MontageTrainer:
         def zs(k):
             return jax.random.normal(jax.random.fold_in(k, 0),
                                      (real_stack.shape[0], ens.cfg.z_dim))
+
+        def cs(k):
+            """Fresh per-phase gen labels: a permutation of the host-sampled
+            label pool (reference draws fresh phase_gen_c per phase)."""
+            if gen_c is None:
+                return None
+            return jax.random.permutation(jax.random.fold_in(k, 2), gen_c,
+                                          axis=0)
 
         def set_mapping_stats(ms):
             variables['mapping'] = {**variables['mapping'], 'moving_stats': ms}
@@ -317,7 +336,7 @@ class MontageTrainer:
                     return losses.local_gmain_loss(
                         diff, ens, i, variables['local_d'][i], zs(k),
                         jax.random.fold_in(k, 1), self._local_aug,
-                        state.aug_p[i], hyper.style_mixing_prob)
+                        state.aug_p[i], hyper.style_mixing_prob, c=cs(k))
 
                 (loss, aux), grads = jax.value_and_grad(
                     gmain, argnums=(0, 1), has_aux=True)(
@@ -351,7 +370,8 @@ class MontageTrainer:
                         loss, aux = losses.local_gpl_loss(
                             diff, ens, i, zs(k), jax.random.fold_in(k, 1),
                             pl_mean[i], hyper.pl_batch_shrink, hyper.pl_decay,
-                            hyper.pl_weight, hyper.style_mixing_prob)
+                            hyper.pl_weight, hyper.style_mixing_prob,
+                            c=cs(k))
                         return loss * gain, aux
 
                     def do_gpl(carry):
@@ -391,7 +411,8 @@ class MontageTrainer:
                     return losses.local_dmain_loss(
                         dvars, ens, i, frozen, zs(k), real_crops[i],
                         jax.random.fold_in(k, 1), self._local_aug,
-                        state.aug_p[i], hyper.style_mixing_prob)
+                        state.aug_p[i], hyper.style_mixing_prob,
+                        gen_c=cs(k), real_c=real_c)
 
                 (loss, aux), grads = jax.value_and_grad(
                     dmain, has_aux=True)(variables['local_d'][i]['params'])
@@ -420,7 +441,7 @@ class MontageTrainer:
                         loss, aux = losses.local_dr1_loss(
                             dvars, ens, i, real_crops[i],
                             jax.random.fold_in(k, 1), self._local_aug,
-                            state.aug_p[i], hyper.r1_gamma)
+                            state.aug_p[i], hyper.r1_gamma, real_c=real_c)
                         return loss * gain, aux
 
                     def do_dr1(carry):

@@ -223,9 +223,15 @@ def discriminator_params_from_torch(state_dict: Dict[str, Any],
         node[path[-1]] = value
 
     h0, w0 = init_res
+    mapping_sd = {k[len('mapping.'):]: v for k, v in sd.items()
+                  if k.startswith('mapping.')}
+    if mapping_sd:
+        # conditional D: projection-head mapping (z_dim=0) lives under the
+        # 'mapping' submodule in both layouts
+        params['mapping'] = mapping_params_from_torch(mapping_sd)['params']
     for k, v in sd.items():
         parts = k.split('.')
-        if parts[-1] == 'resample_filter':
+        if parts[-1] == 'resample_filter' or parts[0] == 'mapping':
             continue
         block, layer, kind = parts[0], parts[1], parts[-1]
         if layer in ('fromrgb', 'conv0', 'conv1', 'skip', 'conv'):
@@ -240,8 +246,6 @@ def discriminator_params_from_torch(state_dict: Dict[str, Any],
                 put([block, 'fc', 'bias'], _np(v))
         elif layer == 'out':
             put([block, 'out', kind], linear_w(v) if kind == 'weight' else _np(v))
-        elif layer == 'mapping':
-            raise NotImplementedError('conditional D import not yet supported')
         else:
             raise KeyError(f'unhandled discriminator key {k}')
     return {'params': params}

@@ -166,3 +166,33 @@ def test_widen_mapping_to_global():
     for l in range(5):
         np.testing.assert_allclose(np.asarray(gws[:, l]), np.asarray(ws),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_ppl_machinery():
+    from montage_gan_tpu.metrics.perceptual_path_length import (compute_ppl,
+                                                                slerp)
+    a = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
+    b = jnp.asarray([[0.0, 1.0], [2.0, 0.0]])
+    mid = slerp(a, b, 0.5)
+    # slerp preserves the norm of a and stays on the arc
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(mid), axis=-1),
+                               [1.0, 2.0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), np.asarray(a),
+                               atol=1e-6)
+
+    # a smooth sampler has finite, small PPL; a discontinuous one larger
+    class IdFeatures:
+        name = 'id'
+
+        def __call__(self, imgs):
+            return imgs.reshape(imgs.shape[0], -1) / 255.0
+
+    def smooth_pair(z0, z1):
+        def render(z):
+            v = jnp.tanh(z[:, :3])
+            return jnp.tile(v[:, None, None, :], (1, 4, 4, 1)) * 0.5 + 0.5
+        return render(z0), render(z1)
+
+    ppl = compute_ppl(smooth_pair, z_dim=8, extractor=IdFeatures(),
+                      num_samples=64, batch_size=16)
+    assert np.isfinite(ppl) and ppl >= 0

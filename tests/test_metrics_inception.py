@@ -1,0 +1,179 @@
+"""Parity tests for the JAX InceptionV3 (FID variant) port.
+
+An independently written torch mirror (padding derived from weight shapes,
+torch's own conv/pool/batchnorm semantics) is run against the JAX port with
+identical random weights routed through the actual conversion path
+(``convert_torch_state_dict`` — BN folding + layout transpose).  This mirrors
+the reference's dual-implementation testing strategy (SURVEY.md §4.3).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import torch.nn.functional as F  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from montage_gan_tpu.metrics import inception_net  # noqa: E402
+
+# Stride-2 convs in the graph (torchvision inception_v3); everything else is
+# stride 1.  Independent of the spec tables in inception_net.
+STRIDE2 = {'Conv2d_1a_3x3', 'Mixed_6a.branch3x3', 'Mixed_6a.branch3x3dbl_3',
+           'Mixed_7a.branch3x3_2', 'Mixed_7a.branch7x7x3_4'}
+# Stem paddings are explicit in torchvision; block convs pad k//2 when
+# stride 1 and 0 when stride 2.
+STEM_PAD = {'Conv2d_1a_3x3': 0, 'Conv2d_2a_3x3': 0, 'Conv2d_2b_3x3': 1,
+            'Conv2d_3b_1x1': 0, 'Conv2d_4a_3x3': 0}
+
+
+def make_random_state_dict(seed=0):
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def add(name, cin, cout, k):
+        sd[f'{name}.conv.weight'] = torch.tensor(
+            (rng.randn(cout, cin, k[0], k[1])
+             / np.sqrt(k[0] * k[1] * cin)).astype(np.float32))
+        sd[f'{name}.bn.weight'] = torch.tensor(
+            rng.uniform(0.8, 1.2, cout).astype(np.float32))
+        sd[f'{name}.bn.bias'] = torch.tensor(
+            rng.uniform(0.0, 0.1, cout).astype(np.float32))
+        sd[f'{name}.bn.running_mean'] = torch.tensor(
+            (rng.randn(cout) * 0.05).astype(np.float32))
+        sd[f'{name}.bn.running_var'] = torch.tensor(
+            rng.uniform(0.8, 1.2, cout).astype(np.float32))
+
+    for name, spec in inception_net.STEM:
+        if spec is None:
+            continue
+        cin, cout = inception_net._CHANNELS[name]
+        add(name, cin, cout, spec[0])
+    for bname, kind in inception_net.BLOCKS:
+        chans = inception_net._block_channels(
+            bname, kind, inception_net._BLOCK_CIN[bname])
+        for cname, spec in inception_net._SPECS[kind].items():
+            cin, cout = chans[cname]
+            add(f'{bname}.{cname}', cin, cout, spec[0])
+    return sd
+
+
+def t_conv(sd, name, x):
+    w = sd[name + '.conv.weight']
+    stride = 2 if name in STRIDE2 else 1
+    if name in STEM_PAD:
+        pad = STEM_PAD[name]
+    elif stride == 2:
+        pad = 0
+    else:
+        pad = (w.shape[2] // 2, w.shape[3] // 2)
+    y = F.conv2d(x, w, stride=stride, padding=pad)
+    y = F.batch_norm(y, sd[name + '.bn.running_mean'],
+                     sd[name + '.bn.running_var'], sd[name + '.bn.weight'],
+                     sd[name + '.bn.bias'], training=False, eps=1e-3)
+    return F.relu(y)
+
+
+def torch_forward(sd, x):
+    """x: [N, 3, 299, 299] in [0, 255] → [N, 2048] pool3 features."""
+    c = lambda name, h: t_conv(sd, name, h)
+    avg = lambda h: F.avg_pool2d(h, 3, 1, 1, count_include_pad=False)
+    x = x / 127.5 - 1.0
+    x = c('Conv2d_1a_3x3', x)
+    x = c('Conv2d_2a_3x3', x)
+    x = c('Conv2d_2b_3x3', x)
+    x = F.max_pool2d(x, 3, 2)
+    x = c('Conv2d_3b_1x1', x)
+    x = c('Conv2d_4a_3x3', x)
+    x = F.max_pool2d(x, 3, 2)
+    for b, pf in [('Mixed_5b', 32), ('Mixed_5c', 64), ('Mixed_5d', 64)]:
+        x = torch.cat([
+            c(f'{b}.branch1x1', x),
+            c(f'{b}.branch5x5_2', c(f'{b}.branch5x5_1', x)),
+            c(f'{b}.branch3x3dbl_3',
+              c(f'{b}.branch3x3dbl_2', c(f'{b}.branch3x3dbl_1', x))),
+            c(f'{b}.branch_pool', avg(x))], 1)
+    x = torch.cat([
+        c('Mixed_6a.branch3x3', x),
+        c('Mixed_6a.branch3x3dbl_3',
+          c('Mixed_6a.branch3x3dbl_2', c('Mixed_6a.branch3x3dbl_1', x))),
+        F.max_pool2d(x, 3, 2)], 1)
+    for b in ['Mixed_6b', 'Mixed_6c', 'Mixed_6d', 'Mixed_6e']:
+        h2 = x
+        for i in range(1, 6):
+            h2 = c(f'{b}.branch7x7dbl_{i}', h2)
+        x = torch.cat([
+            c(f'{b}.branch1x1', x),
+            c(f'{b}.branch7x7_3',
+              c(f'{b}.branch7x7_2', c(f'{b}.branch7x7_1', x))),
+            h2,
+            c(f'{b}.branch_pool', avg(x))], 1)
+    h1 = x
+    for i in range(1, 5):
+        h1 = c(f'Mixed_7a.branch7x7x3_{i}', h1)
+    x = torch.cat([
+        c('Mixed_7a.branch3x3_2', c('Mixed_7a.branch3x3_1', x)),
+        h1, F.max_pool2d(x, 3, 2)], 1)
+    for b in ['Mixed_7b', 'Mixed_7c']:
+        t = c(f'{b}.branch3x3_1', x)
+        b1 = torch.cat([c(f'{b}.branch3x3_2a', t), c(f'{b}.branch3x3_2b', t)], 1)
+        t = c(f'{b}.branch3x3dbl_2', c(f'{b}.branch3x3dbl_1', x))
+        b2 = torch.cat([c(f'{b}.branch3x3dbl_3a', t),
+                        c(f'{b}.branch3x3dbl_3b', t)], 1)
+        pool = (F.max_pool2d(x, 3, 1, 1) if b == 'Mixed_7c' else avg(x))
+        x = torch.cat([c(f'{b}.branch1x1', x), b1, b2,
+                       c(f'{b}.branch_pool', pool)], 1)
+    return x.mean(dim=(2, 3))
+
+
+def test_inception_parity_vs_torch_mirror():
+    sd = make_random_state_dict(0)
+    rng = np.random.RandomState(1)
+    imgs = rng.uniform(0, 255, (2, 299, 299, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = torch_forward(sd, torch.tensor(
+            np.transpose(imgs, (0, 3, 1, 2)))).numpy()
+
+    params = inception_net.convert_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items()})
+    got = np.asarray(inception_net.apply(params, jnp.asarray(imgs),
+                                         resize_input=False))
+    assert got.shape == (2, 2048)
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.std(ref) > 0  # net did not collapse — parity is meaningful
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3 * scale)
+
+
+def test_inception_resize_and_feature_extractor(tmp_path, monkeypatch):
+    params = inception_net.init_random(0)
+    path = str(tmp_path / 'inception.npz')
+    inception_net.save_params(params, path)
+
+    from montage_gan_tpu.metrics.features import (InceptionV3Features,
+                                                  build_extractor)
+    monkeypatch.setenv('MGT_INCEPTION_WEIGHTS', path)
+    ext = build_extractor('inception')
+    assert isinstance(ext, InceptionV3Features)
+    imgs = jnp.asarray(np.random.RandomState(0)
+                       .uniform(0, 255, (3, 64, 64, 3)).astype(np.float32))
+    feats = np.asarray(ext(imgs))  # resize 64→299 path
+    assert feats.shape == (3, 2048) and np.all(np.isfinite(feats))
+
+    monkeypatch.delenv('MGT_INCEPTION_WEIGHTS')
+    assert build_extractor('auto').name == 'random2048'
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    sd = make_random_state_dict(2)
+    src = str(tmp_path / 'in.pth')
+    dst = str(tmp_path / 'out.npz')
+    torch.save(sd, src)
+    from montage_gan_tpu.utils import convert_inception
+    convert_inception.main([src, dst])
+    params = inception_net.load_params(dst)
+    direct = inception_net.convert_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items()})
+    assert set(params) == set(direct)
+    np.testing.assert_allclose(params['Mixed_7c.branch_pool'],
+                               direct['Mixed_7c.branch_pool'], atol=1e-7)

@@ -1,0 +1,62 @@
+"""Projector (latent inversion) smoke tests.
+
+Covers the reference projector contract (reference: projector.py:26-132):
+w initialized at the mapping average, Adam with ramped lr, optional noise
+buffer co-optimization with multi-scale decorrelation regularization and
+per-step renormalization, outputs proj.png + projected_w.npz.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
+from montage_gan_tpu.utils import checkpoint as ckpt
+
+
+@pytest.fixture(scope='module')
+def tiny_snapshot(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('proj')
+    cfg = MontageConfig(layer_names=('a', 'b'),
+                        layer_targets=((16, 16), (16, 16)),
+                        base_resolution=16, img_channels=4,
+                        conv_config_index=2, z_dim=8, w_dim=8,
+                        mapping_num_layers=2, channel_base=256,
+                        channel_max=32, num_fp16_res=0, conv_clamp=None,
+                        mbstd_group_size=2, use_global_mapping=True,
+                        train_global=True, renderer_type='none',
+                        stn_stages=1)
+    ens = MontageEnsemble(cfg)
+    variables = ens.init_variables(jax.random.PRNGKey(0), batch=1)
+    ema = {'mapping': variables['mapping'],
+           'local_g': tuple(variables['local_g']),
+           'stn': variables['stn']}
+    path = str(tmp / 'ema-snapshot-000000')
+    ckpt.save_ema_snapshot(path, cfg, ema)
+
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    target = (rng.uniform(0, 255, (16, 16, 4))).astype(np.uint8)
+    target_path = str(tmp / 'target.png')
+    Image.fromarray(target, 'RGBA').save(target_path)
+    return path, target_path
+
+
+@pytest.mark.parametrize('noise_flag', ['--optimize-noise',
+                                        '--no-optimize-noise'])
+def test_projector_cli(tiny_snapshot, tmp_path, noise_flag):
+    from click.testing import CliRunner
+    from montage_gan_tpu.cli.projector import main as proj_main
+
+    path, target_path = tiny_snapshot
+    outdir = str(tmp_path / ('out' + noise_flag.replace('-', '')))
+    res = CliRunner().invoke(
+        proj_main, ['--network', path, '--target', target_path,
+                    '--num-steps', '4', '--outdir', outdir, noise_flag])
+    assert res.exit_code == 0, res.output
+    assert os.path.exists(os.path.join(outdir, 'proj.png'))
+    w = np.load(os.path.join(outdir, 'projected_w.npz'))['w']
+    assert np.all(np.isfinite(w))
