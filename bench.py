@@ -60,7 +60,14 @@ def main():
     ens = MontageEnsemble(cfg)
     hyper = TrainHyper(batch_size=BATCH,
                        augment=make_augment_config('bgcfnc'),
-                       ada_target=0.6)
+                       ada_target=0.6,
+                       # global/renderer phases backprop through all 9 local
+                       # Gs at once; at batch 32 their temps (~10G) + resident
+                       # state (~7.5G) exceed the 16G chip, and async phase
+                       # dispatch overlaps two programs' temps — 4 rounds of 8
+                       # keeps the concurrent peak safely under HBM
+                       # (reference batch_gpu rounds, training_loop_aio.py:620-627)
+                       global_microbatch=8)
     trainer = MontageTrainer(ens, hyper)
     executor = PhaseExecutor(trainer)
 
@@ -95,8 +102,11 @@ def main():
     state = jax.device_put(state)
 
     _log("compiling + running first step (this warms all phase programs)...")
+    step_idx = 0
     t_compile = time.time()
-    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(1))
+    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(1),
+                                 step_idx=step_idx)
+    step_idx += 1
     jax.block_until_ready(stats)
     compile_s = time.time() - t_compile
     _log(f"first step (compile+run): {compile_s:.0f}s")
@@ -105,14 +115,22 @@ def main():
     for i in range(WARMUP_STEPS):
         t0 = time.time()
         state, stats = executor.step(state, stack, crops,
-                                     jax.random.PRNGKey(2 + i))
+                                     jax.random.PRNGKey(2 + i),
+                                     step_idx=step_idx,
+                                     time_phases=(i == WARMUP_STEPS - 1))
+        step_idx += 1
         jax.block_until_ready(stats)
         _log(f"warmup step {i}: {time.time() - t0:.2f}s")
+    for k, v in sorted(stats.items()):
+        if k.startswith('Timing/'):
+            _log(f"{k}: {float(v):.2f}s")
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):
         state, stats = executor.step(state, stack, crops,
-                                     jax.random.PRNGKey(100 + i))
+                                     jax.random.PRNGKey(100 + i),
+                                     step_idx=step_idx)
+        step_idx += 1
     jax.block_until_ready(stats)
     dt = time.time() - t0
 

@@ -43,22 +43,39 @@ def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
             raise click.UsageError(
                 f'unknown metric {m}; valid: {metric_main.list_valid_metrics()}')
 
-    cfg, ens, tree = load_ema_snapshot(network_path)
-    dataset = DatasetAIO(data, xflip=mirror,
-                         conv_config_index=cfg.conv_config_index)
+    if network_path.endswith('.pkl'):
+        # Reference SG2-ADA snapshot: monolithic generator on a flat dataset
+        # (reference: calc_metrics.py --network pkl path).
+        from ..data.dataset import ImageFolderDataset
+        from ..utils.pkl_import import generator_from_pkl
+        mapping, map_vars, synthesis, syn_vars, kw = \
+            generator_from_pkl(network_path)
+        z_dim = kw['z_dim']
+        dataset = ImageFolderDataset(data, xflip=mirror)
 
-    @jax.jit
-    def sample_fn(z):
-        """z → composited RGBA [0, 1] (the reference's run_generator contract,
-        metrics/metric_utils.py:265-280)."""
-        placed, _ = ens.run_global_g(tree, z, noise_mode='const')
-        return alpha_composite(normalize_zero1(jnp.clip(placed, -1, 1)))
+        @jax.jit
+        def sample_fn(z):
+            ws = mapping.apply(map_vars, z)
+            img = synthesis.apply(syn_vars, ws, noise_mode='const')
+            return jnp.clip(img * 0.5 + 0.5, 0, 1)
+    else:
+        cfg, ens, tree = load_ema_snapshot(network_path)
+        z_dim = cfg.z_dim
+        dataset = DatasetAIO(data, xflip=mirror,
+                             conv_config_index=cfg.conv_config_index)
+
+        @jax.jit
+        def sample_fn(z):
+            """z → composited RGBA [0, 1] (the reference's run_generator
+            contract, metrics/metric_utils.py:265-280)."""
+            placed, _ = ens.run_global_g(tree, z, noise_mode='const')
+            return alpha_composite(normalize_zero1(jnp.clip(placed, -1, 1)))
 
     ext = build_extractor(extractor)
     run_dir = os.path.dirname(network_path) or '.'
     for m in metric_list:
         result = metric_main.calc_metric(
-            m, dataset=dataset, sample_fn=sample_fn, z_dim=cfg.z_dim,
+            m, dataset=dataset, sample_fn=sample_fn, z_dim=z_dim,
             extractor=ext, cache_dir=cache_dir, batch_size=batch, seed=seed)
         metric_main.report_metric(result, run_dir=run_dir,
                                   snapshot_pkl=network_path)

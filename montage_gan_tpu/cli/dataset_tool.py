@@ -69,6 +69,21 @@ def _iter_mnist(src):
         yield img, int(lab)
 
 
+def _iter_lmdb(src):
+    """LSUN LMDB archive (reference: dataset_tool.py:118-144); requires the
+    `lmdb` package (gated — see docs/GAPS.md)."""
+    import io
+    import lmdb
+    from PIL import Image
+    with lmdb.open(src, readonly=True, lock=False).begin(write=False) as txn:
+        for _key, value in txn.cursor():
+            try:
+                img = Image.open(io.BytesIO(value))
+                yield np.asarray(img.convert('RGB')), None
+            except OSError:
+                continue
+
+
 def _transform(img: np.ndarray, transform: Optional[str],
                width: Optional[int], height: Optional[int]) -> np.ndarray:
     from PIL import Image
@@ -103,7 +118,7 @@ def _transform(img: np.ndarray, transform: Optional[str],
 @click.option('--dest', required=True, metavar='PATH',
               help='Output directory or .zip')
 @click.option('--source-type', type=click.Choice(['auto', 'folder', 'zip',
-                                                  'cifar10', 'mnist',
+                                                  'cifar10', 'mnist', 'lmdb',
                                                   'layers']),
               default='auto')
 @click.option('--transform', type=click.Choice(['center-crop',
@@ -140,8 +155,20 @@ def main(source, dest, source_type, transform, width, height, max_images):
               f'targets {ds.layer_targets}')
         return
 
-    iterator = {'folder': _iter_folder, 'zip': _iter_zip,
-                'cifar10': _iter_cifar10, 'mnist': _iter_mnist}[source_type](source)
+    if source_type == 'lmdb':
+        # reference dataset_tool.py:118 (LSUN archives); the lmdb package is
+        # not available in this image — gated, see docs/GAPS.md
+        try:
+            import lmdb  # noqa: F401
+        except ImportError:
+            raise click.UsageError(
+                'LMDB ingestion requires the `lmdb` package, which is not '
+                'available in this environment (docs/GAPS.md)')
+        iterator = _iter_lmdb(source)
+    else:
+        iterator = {'folder': _iter_folder, 'zip': _iter_zip,
+                    'cifar10': _iter_cifar10,
+                    'mnist': _iter_mnist}[source_type](source)
 
     to_zip = dest.endswith('.zip')
     zf = zipfile.ZipFile(dest, 'w') if to_zip else None

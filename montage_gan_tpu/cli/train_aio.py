@@ -105,6 +105,14 @@ def next_run_dir(outdir: str, desc: str) -> str:
               help='Override channel_base (testing/small runs)')
 @click.option('--channel-max', type=int, default=None)
 @click.option('--kimg-per-tick', type=int, default=4)
+@click.option('--batch-gpu', 'batch_gpu', type=int, default=None,
+              help='Microbatch per accumulation round for local phases '
+                   '(reference --batch-gpu)')
+@click.option('--global-batch-gpu', type=int, default=None,
+              help='Microbatch for the global/renderer phases (HBM '
+                   'high-water mark); defaults to --batch-gpu')
+@click.option('--trace', 'trace_dir', default=None, metavar='DIR',
+              help='Write a profiler trace of a few post-warmup steps')
 @click.option('--save-all-layers', is_flag=True, default=False)
 @click.option('--run-latent-interpolation', is_flag=True, default=False)
 def main(**kwargs):
@@ -160,7 +168,9 @@ def main(**kwargs):
         train_local=opts.train_local, train_global=opts.train_global,
         train_renderer=opts.train_renderer,
         bypass_renderer=opts.bypass_renderer,
-        global_optimize_interval=opts.global_optimize_interval)
+        global_optimize_interval=opts.global_optimize_interval,
+        microbatch=opts.batch_gpu,
+        global_microbatch=opts.global_batch_gpu)
 
     desc = f'{dataset.name}-{opts.cfg}'
     if opts.mirror:
@@ -191,7 +201,8 @@ def main(**kwargs):
             random_seed=opts.seed, resume_path=resume_path,
             metrics=metrics, run_once=opts.run_once,
             save_all_layers=opts.save_all_layers,
-            run_latent_interpolation=opts.run_latent_interpolation)
+            run_latent_interpolation=opts.run_latent_interpolation,
+            trace_dir=opts.trace_dir)
     finally:
         logger.close()
 

@@ -108,6 +108,31 @@ def layers_to_metric_rgb(layers01: np.ndarray) -> np.ndarray:
     return np.clip(rgb, 0, 1) * 255.0
 
 
+def images_to_metric_rgb(imgs01: np.ndarray) -> np.ndarray:
+    """[B, H, W, C] in [0,1] → [B, H, W, 3] in [0,255].  RGBA is blended on
+    white (same rule as the layered path); RGB/grayscale pass through."""
+    if imgs01.shape[-1] == 4:
+        white = np.ones_like(imgs01)
+        imgs01 = alpha_composite_np(np.stack([white, imgs01], axis=1))
+    rgb = imgs01[..., :3]
+    if rgb.shape[-1] == 1:
+        rgb = np.repeat(rgb, 3, axis=-1)
+    return np.clip(rgb, 0, 1) * 255.0
+
+
+def _item_to_rgb(item) -> np.ndarray:
+    """One dataset item (layered [L,H,W,4] float01, flat [H,W,C] uint8, or a
+    (img, label) tuple) → [H, W, 3] in [0,255]."""
+    if isinstance(item, tuple):
+        item = item[0]
+    item = np.asarray(item)
+    if item.ndim == 4:  # layered
+        return layers_to_metric_rgb(item[None])[0]
+    if item.dtype == np.uint8:
+        item = item.astype(np.float32) / 255.0
+    return images_to_metric_rgb(item[None].astype(np.float32))[0]
+
+
 def compute_feature_stats_for_dataset(dataset,
                                       extractor,
                                       batch_size: int = 16,
@@ -130,8 +155,8 @@ def compute_feature_stats_for_dataset(dataset,
     stats = FeatureStats(max_items=n, **stats_kwargs)
     i = 0
     while not stats.is_full() and i < n:
-        batch = np.stack([dataset[j] for j in range(i, min(i + batch_size, n))])
-        rgb = layers_to_metric_rgb(batch)
+        rgb = np.stack([_item_to_rgb(dataset[j])
+                        for j in range(i, min(i + batch_size, n))])
         stats.append(np.asarray(extractor(jnp.asarray(rgb))))
         i += batch_size
 
@@ -156,10 +181,8 @@ def compute_feature_stats_for_generator(sample_fn: Callable[[jax.Array], jax.Arr
     while not stats.is_full():
         key, sub = jax.random.split(key)
         z = jax.random.normal(sub, (batch_size, z_dim))
-        imgs = np.asarray(sample_fn(z))  # [B, H, W, 4] in [0, 1]
-        white = np.ones_like(imgs)
-        rgb = alpha_composite_np(np.stack([white, imgs], axis=1))[..., :3]
-        feats = extractor(jnp.asarray(np.clip(rgb, 0, 1) * 255.0))
-        stats.append(np.asarray(feats))
+        imgs = np.asarray(sample_fn(z))  # [B, H, W, 4|3] in [0, 1]
+        rgb = images_to_metric_rgb(imgs)
+        stats.append(np.asarray(extractor(jnp.asarray(rgb))))
         i += batch_size
     return stats

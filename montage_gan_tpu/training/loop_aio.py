@@ -136,6 +136,9 @@ def training_loop(
         use_phase_executor: bool = True,
         save_all_layers: bool = False,
         run_latent_interpolation: bool = False,
+        trace_dir: Optional[str] = None,
+        trace_start_iter: int = 8,
+        trace_num_iters: int = 3,
 ):
     os.makedirs(run_dir, exist_ok=True)
     if cfg is None:
@@ -170,9 +173,18 @@ def training_loop(
         # host-side interval scheduling) — see training/phase_exec.py
         from .phase_exec import PhaseExecutor
         executor = PhaseExecutor(trainer)
-        step_fn = lambda s, a, b, r: executor.step(s, a, b, r)  # noqa: E731
+        host_step = [None]  # resolved from state.step once, then host-counted
+
+        def step_fn(s, a, b, r, time_phases=False):
+            if host_step[0] is None:
+                host_step[0] = int(s.step)
+            out = executor.step(s, a, b, r, time_phases=time_phases,
+                                step_idx=host_step[0])
+            host_step[0] += 1
+            return out
     else:
-        step_fn = make_parallel_train_step(trainer, mesh)
+        _pstep = make_parallel_train_step(trainer, mesh)
+        step_fn = lambda s, a, b, r, time_phases=False: _pstep(s, a, b, r)  # noqa: E731
 
     prefetcher = BatchPrefetcher(dataset, hyper.batch_size,
                                  cfg.layer_targets, seed=random_seed)
@@ -206,6 +218,9 @@ def training_loop(
     done = False
     print(f'Training for {total_kimg} kimg...')
 
+    it = 0
+    tracing = False
+    time_next_step = False
     while True:
         # ---- one training iteration -----------------------------------
         t0 = time.time()
@@ -214,9 +229,24 @@ def training_loop(
         crops = shard_batch(mesh, tuple(jnp.asarray(c) for c in crops_np))
         acc.report('Timing/data_fetch', time.time() - t0)
 
+        # profiler window (reference region annotation / per-phase events,
+        # custom/training_loop_aio.py:511-516; SURVEY §5.1): trace a few
+        # post-warmup steps into trace_dir for xprof/tensorboard
+        if trace_dir is not None and it == trace_start_iter:
+            jax.block_until_ready(jax.tree_util.tree_leaves(state.variables))
+            jax.profiler.start_trace(trace_dir)
+            tracing = True
         rng = jax.random.fold_in(jax.random.PRNGKey(random_seed + 2),
                                  cur_nimg)
-        state, stats = step_fn(state, stack, crops, replicate(mesh, rng))
+        state, stats = step_fn(state, stack, crops, replicate(mesh, rng),
+                               time_phases=time_next_step)
+        time_next_step = False
+        if tracing and it >= trace_start_iter + trace_num_iters - 1:
+            jax.block_until_ready(jax.tree_util.tree_leaves(state.variables))
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f'Wrote profiler trace to {trace_dir}')
+        it += 1
         cur_nimg += hyper.batch_size
 
         # host-side stats sink (device→host copy once per step)
@@ -361,6 +391,9 @@ def training_loop(
         tick_start_nimg = cur_nimg
         tick_start_time = time.time()
         maintenance_time = tick_start_time - tick_end_time
+        # per-phase wall-times on the first step of each tick (reference
+        # per-phase CUDA-event timing, training_loop_aio.py:511-516)
+        time_next_step = use_phase_executor
         if done or run_once:
             break
 

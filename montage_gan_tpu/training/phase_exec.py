@@ -256,9 +256,13 @@ class PhaseExecutor:
     # ------------------------------------------------------------------
 
     def step(self, state: MontageTrainState, stack, crops, rng,
-             time_phases: bool = False):
-        """One full training iteration; ``state.step`` drives the intervals
+             time_phases: bool = False, step_idx: Optional[int] = None):
+        """One full training iteration; the step index drives the intervals
         host-side.  Returns (new_state, stats).
+
+        ``step_idx``: host-known step counter.  Pass it to avoid a device
+        sync on ``state.step`` — the sync stalls the dispatch pipeline every
+        step (expensive over a remote device transport).
 
         ``time_phases=True`` synchronizes after every phase and reports
         ``Timing/<phase>`` wall-times (the reference's per-phase CUDA-event
@@ -266,7 +270,8 @@ class PhaseExecutor:
         overlap, so enable only on tick boundaries."""
         import time as _time
         ens, hyper = self.ens, self.hyper
-        step_idx = int(state.step)
+        if step_idx is None:
+            step_idx = int(state.step)
         stats: Dict[str, Any] = {}
 
         def timed(phase_name, fn, *args, **kwargs):

@@ -75,6 +75,11 @@ class TrainHyper:
     # (the reference's un-normalized accumulation). None = single pass.
     # Honored by the PhaseExecutor's local phases.
     microbatch: Optional[int] = None
+    # Microbatch for the global G/D and renderer phases only — these backprop
+    # through all 9 local Gs + STN + composite + global D at once and are the
+    # HBM high-water mark (global_Gmain needs ~10G of temps at batch 32 on a
+    # 16G chip next to the ~7.5G resident state).  None = follow `microbatch`.
+    global_microbatch: Optional[int] = None
 
     @property
     def accum_rounds(self) -> int:
@@ -82,6 +87,14 @@ class TrainHyper:
             return 1
         assert self.batch_size % self.microbatch == 0
         return self.batch_size // self.microbatch
+
+    @property
+    def global_accum_rounds(self) -> int:
+        mb = self.global_microbatch
+        if mb is None:
+            return self.accum_rounds
+        assert self.batch_size % mb == 0
+        return self.batch_size // mb
 
 
 @flax.struct.dataclass
@@ -113,6 +126,49 @@ def _nan_to_num(tree):
     """Gradient scrubbing (reference: custom/training_loop_aio.py:584-595)."""
     return jax.tree_util.tree_map(
         lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), tree)
+
+
+def accum_value_and_grad(loss_fn, params, data, rng, rounds: int):
+    """``loss_fn(params, data_mb, rng_mb) → (loss, aux)`` with gradient
+    accumulation over microbatch rounds (reference batch_gpu rounds,
+    custom/training_loop_aio.py:620-627).
+
+    Gradients are SUMMED over rounds (the reference's un-normalized
+    accumulation, custom/loss_aio.py:52-63); ``aux['stats']``/
+    ``aux['sign_real']`` are averaged; other aux entries (moving_stats,
+    pl_mean) keep the last round's value.  ``data`` leaves must have a
+    leading batch axis divisible by ``rounds``.
+
+    Returns ``((mean_loss, aux), grads)``.
+    """
+    vag = jax.value_and_grad(loss_fn, has_aux=True)
+    if rounds == 1:
+        return vag(params, data, rng)
+
+    data_r = jax.tree_util.tree_map(
+        lambda x: x.reshape((rounds, x.shape[0] // rounds) + x.shape[1:]),
+        data)
+    rngs = jax.random.split(rng, rounds)
+    gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def body(gsum, xs):
+        d, r = xs
+        (loss, aux), g = vag(params, d, r)
+        return jax.tree_util.tree_map(jnp.add, gsum, g), (loss, aux)
+
+    gsum, (loss_seq, aux_seq) = jax.lax.scan(body, gzero, (data_r, rngs))
+
+    aux = dict(aux_seq)
+    for k in ('stats',):
+        if k in aux:
+            aux[k] = jax.tree_util.tree_map(jnp.mean, aux[k])
+    for k in ('sign_real',):
+        if k in aux:
+            aux[k] = jnp.mean(aux[k])
+    for k in ('moving_stats', 'pl_mean'):
+        if k in aux:
+            aux[k] = jax.tree_util.tree_map(lambda x: x[-1], aux[k])
+    return (jnp.mean(loss_seq), aux), gsum
 
 
 class MontageTrainer:
@@ -302,16 +358,18 @@ class MontageTrainer:
                       'local_g': tuple(variables['local_g']),
                       'stn': variables['stn']}
 
-            def rloss(r_params):
+            def rloss(r_params, data, rng_mb):
+                z_mb, stack_mb = data
                 rvars = {**variables['renderer'], 'params': r_params}
                 return losses.renderer_loss(
-                    rvars, ens, frozen, zs(k), real_stack,
-                    jax.random.fold_in(k, 1), loss_type=hyper.renderer_loss,
+                    rvars, ens, frozen, z_mb, stack_mb,
+                    rng_mb, loss_type=hyper.renderer_loss,
                     use_real=hyper.renderer_use_real,
                     style_mixing_prob=hyper.style_mixing_prob)
 
-            (loss, aux), grads = jax.value_and_grad(rloss, has_aux=True)(
-                variables['renderer']['params'])
+            (loss, aux), grads = accum_value_and_grad(
+                rloss, variables['renderer']['params'], (zs(k), real_stack),
+                jax.random.fold_in(k, 1), hyper.global_accum_rounds)
             grads = _nan_to_num(grads)
             updates, opt_states['renderer'] = self.tx_renderer.update(
                 grads, opt_states['renderer'], variables['renderer']['params'])
@@ -486,12 +544,13 @@ class MontageTrainer:
                         for i in range(num_layers))
                 return diff
 
-            def ggmain(p, k=k):
+            def ggmain(p, data, rng_mb):
+                (z_mb,) = data
                 diff = build_gg_vars(p)
                 frozen = {'global_d': variables['global_d'],
                           'renderer': variables.get('renderer')}
                 loss, aux = losses.global_gmain_loss(
-                    diff, ens, frozen, zs(k), jax.random.fold_in(k, 1),
+                    diff, ens, frozen, z_mb, rng_mb,
                     self._global_aug, state.aug_p[num_layers],
                     hyper.style_mixing_prob, self._use_renderer)
                 return loss * float(goi), aux
@@ -501,8 +560,9 @@ class MontageTrainer:
 
             def do_ggmain(carry):
                 p, opt, ms, _ = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    ggmain, has_aux=True)(p)
+                (loss, aux), grads = accum_value_and_grad(
+                    ggmain, p, (zs(k),), jax.random.fold_in(k, 1),
+                    hyper.global_accum_rounds)
                 grads = _nan_to_num(grads)
                 updates, opt = self.tx_global_g.update(grads, opt, p)
                 st = {k: aux['stats'][k] for k in GGMAIN_KEYS}
@@ -531,15 +591,16 @@ class MontageTrainer:
             # ---- global_Dmain
             k = phase_rng()
 
-            def gdmain(d_params, k=k):
+            def gdmain(d_params, data, rng_mb):
+                z_mb, stack_mb = data
                 dvars = {**variables['global_d'], 'params': d_params}
                 frozen = {'mapping': variables['mapping'],
                           'local_g': tuple(variables['local_g']),
                           'stn': variables['stn'],
                           'renderer': variables.get('renderer')}
                 loss, aux = losses.global_dmain_loss(
-                    dvars, ens, frozen, zs(k), real_stack,
-                    jax.random.fold_in(k, 1), self._global_aug,
+                    dvars, ens, frozen, z_mb, stack_mb,
+                    rng_mb, self._global_aug,
                     state.aug_p[num_layers], hyper.style_mixing_prob,
                     self._use_renderer, hyper.global_d_real_use_renderer)
                 return loss * float(goi), aux
@@ -550,8 +611,9 @@ class MontageTrainer:
 
             def do_gdmain(carry):
                 d_params, opt, ms, ss, sc, _ = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    gdmain, has_aux=True)(d_params)
+                (loss, aux), grads = accum_value_and_grad(
+                    gdmain, d_params, (zs(k), real_stack),
+                    jax.random.fold_in(k, 1), hyper.global_accum_rounds)
                 grads = _nan_to_num(grads)
                 updates, opt = self.tx_global_d.update(grads, opt, d_params)
                 ss = ss.at[num_layers].add(aux['sign_real'])
@@ -586,12 +648,13 @@ class MontageTrainer:
                 interval = hyper.d_reg_interval * goi
                 do_reg = True if host_scheduled else (step % interval) == 0
 
-                def gdr1(d_params, k=k):
+                def gdr1(d_params, data, rng_mb):
+                    (stack_mb,) = data
                     dvars = {**variables['global_d'], 'params': d_params}
                     frozen = {'renderer': variables.get('renderer')}
                     loss, aux = losses.global_dr1_loss(
-                        dvars, ens, frozen, real_stack,
-                        jax.random.fold_in(k, 1), self._global_aug,
+                        dvars, ens, frozen, stack_mb,
+                        rng_mb, self._global_aug,
                         state.aug_p[num_layers], hyper.global_r1_gamma,
                         self._use_renderer, hyper.global_d_real_use_renderer)
                     return loss * float(interval), aux
@@ -600,8 +663,9 @@ class MontageTrainer:
 
                 def do_gdr1(carry):
                     d_params, opt, ss, sc, _ = carry
-                    (loss, aux), grads = jax.value_and_grad(
-                        gdr1, has_aux=True)(d_params)
+                    (loss, aux), grads = accum_value_and_grad(
+                        gdr1, d_params, (real_stack,),
+                        jax.random.fold_in(k, 1), hyper.global_accum_rounds)
                     grads = _nan_to_num(grads)
                     updates, opt = self.tx_global_d.update(grads, opt,
                                                            d_params)

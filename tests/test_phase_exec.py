@@ -79,6 +79,38 @@ def test_phase_executor_trains():
     assert 'Renderer/loss_gen' in stats
 
 
+def test_global_phase_accumulation():
+    """global_microbatch < batch ⇒ accumulation rounds inside the global
+    G/D and renderer phases (the HBM high-water-mark phases)."""
+    cfg = MontageConfig(
+        layer_names=('a', 'b'), layer_targets=((16, 16), (16, 16)),
+        base_resolution=16, conv_config_index=2,
+        z_dim=16, w_dim=16, mapping_num_layers=2,
+        channel_base=256, channel_max=16, num_fp16_res=0,
+        mbstd_group_size=2, stn_stages=1, renderer_type='tanh',
+        train_global=True, use_global_mapping=True)
+    ens = MontageEnsemble(cfg)
+    hyper = TrainHyper(batch_size=4, global_microbatch=2, augment=None,
+                       ada_target=None, g_reg_interval=2, d_reg_interval=1,
+                       train_global=True, train_renderer=True,
+                       bypass_renderer=False, global_optimize_interval=1)
+    trainer = MontageTrainer(ens, hyper)
+    assert hyper.global_accum_rounds == 2 and hyper.accum_rounds == 1
+    executor = PhaseExecutor(trainer)
+    state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0), batch=4))
+    stack = jax.random.uniform(jax.random.PRNGKey(1), (4, 2, 16, 16, 4),
+                               minval=-1.0, maxval=1.0)
+    crops = (stack[:, 0], stack[:, 1])
+    for t in range(2):
+        state, stats = executor.step(state, stack, crops,
+                                     jax.random.PRNGKey(3 + t))
+    for leaf in jax.tree_util.tree_leaves(state.variables):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(np.asarray(stats['global/Loss/G/loss']))
+    assert np.isfinite(np.asarray(stats['global/Loss/D/loss']))
+    assert np.isfinite(np.asarray(stats['Renderer/loss_gen']))
+
+
 def test_phase_executor_with_accumulation():
     """microbatch < batch ⇒ gradient-accumulation rounds inside each local
     phase (reference rounds semantics, training_loop_aio.py:620-627)."""

@@ -102,6 +102,61 @@ def test_generate_cli_from_pkl(tmp_path):
     assert sorted(os.listdir(outdir)) == ['seed0000.png', 'seed0001.png']
 
 
+def test_convert_pickle_cli_roundtrip(tmp_path):
+    """pkl → native snapshot → generate parity vs the torch forward."""
+    from click.testing import CliRunner
+    from montage_gan_tpu.cli.convert_pickle import main as conv_main
+
+    g = _make_ref_generator().eval()
+    src = str(tmp_path / 'snap.pkl')
+    with open(src, 'wb') as f:
+        pickle.dump(dict(G_ema=g), f)
+    dest = str(tmp_path / 'converted')
+    res = CliRunner().invoke(conv_main, ['--source', src, '--dest', dest])
+    assert res.exit_code == 0, res.output
+
+    import jax
+    import jax.numpy as jnp
+    from montage_gan_tpu.utils.checkpoint import load_ema_snapshot
+
+    cfg, ens, tree = load_ema_snapshot(dest + '.msgpack')
+    z = np.random.RandomState(0).randn(2, 16).astype(np.float32)
+    ws = ens.mapping.apply(tree['mapping'], jnp.asarray(z))
+    img = ens.local_gs[0].apply(tree['local_g'][0],
+                                ens.ws_for_layer(ws, 0),
+                                noise_mode='const', force_fp32=True)
+    with torch.no_grad():
+        img_ref = g(torch.tensor(z), None, noise_mode='const',
+                    force_fp32=True).numpy()
+    np.testing.assert_allclose(np.asarray(img).transpose(0, 3, 1, 2),
+                               img_ref, rtol=5e-3, atol=5e-4)
+
+
+def test_calc_metrics_cli_from_pkl(tmp_path):
+    from click.testing import CliRunner
+    from PIL import Image
+    from montage_gan_tpu.cli.calc_metrics import main as cm_main
+
+    g = _make_ref_generator().eval()
+    path = str(tmp_path / 'snap.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(dict(G_ema=g), f)
+
+    data = tmp_path / 'imgs'
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 256, (16, 16, 4), dtype=np.uint8),
+                        'RGBA').save(str(data / f'{i}.png'))
+
+    res = CliRunner().invoke(cm_main, [
+        '--network', path, '--data', str(data), '--metrics', 'fid2k',
+        '--extractor', 'random', '--batch', '4',
+        '--cache-dir', str(tmp_path / 'cache')])
+    assert res.exit_code == 0, res.output
+    assert 'fid2k' in res.output
+
+
 def test_generator_variables_from_pkl_forward_parity(tmp_path):
     g = _make_ref_generator().eval()
     path = str(tmp_path / 'snap.pkl')
