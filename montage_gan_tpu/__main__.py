@@ -16,6 +16,7 @@ def cli():
 
 def _register():
     from .cli.calc_metrics import main as calc_metrics
+    from .cli.compare_renderers import main as compare_renderers
     from .cli.convert_pickle import main as convert_pickle
     from .cli.dataset_tool import main as dataset_tool
     from .cli.generate import main as generate
@@ -33,6 +34,7 @@ def _register():
                       ('dataset-tool', dataset_tool),
                       ('pretrain-renderer', pretrain_renderer),
                       ('pretrain-stn', pretrain_stn),
+                      ('compare-renderers', compare_renderers),
                       ('convert-pickle', convert_pickle)]:
         cli.add_command(cmd, name=name)
 

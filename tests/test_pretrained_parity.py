@@ -139,3 +139,27 @@ def test_composite_psnr_vs_pillow(fixture_batch):
         pil = np.asarray(canvas).astype(np.float32) / 255.0
         q = psnr(y[b], pil)
         assert q > 40, f"composite PSNR vs Pillow: {q:.2f} dB"
+
+
+@needs_ckpt
+@pytest.mark.reference
+def test_compare_renderers_cli(tmp_path):
+    """The renderer-eval harness (reference diff_rendering/compare.py:30-64)
+    reports a high average PSNR for the shipped tanh checkpoint."""
+    from click.testing import CliRunner
+    from montage_gan_tpu.cli.compare_renderers import main as compare_cli
+
+    layers = load_fixture_layers()
+    sample_dir = tmp_path / "ds" / "sample0"
+    sample_dir.mkdir(parents=True)
+    from PIL import Image
+    for i in range(layers.shape[0]):
+        Image.fromarray((layers[i] * 255).astype(np.uint8), "RGBA").save(
+            sample_dir / f"#{i}_layer.png")
+
+    result = CliRunner().invoke(compare_cli, [
+        "--data", str(tmp_path / "ds"), "--ckpt", TANH_CKPT,
+        "--renderer-type", "tanh", "--batch", "1", "--seed", "0"])
+    assert result.exit_code == 0, result.output
+    avg = float(result.output.strip().split("avg PSNR")[1].split("dB")[0])
+    assert avg > 30, result.output
