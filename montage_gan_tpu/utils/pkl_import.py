@@ -27,6 +27,7 @@ Torch is required (storage decoding) but no reference code runs.
 from __future__ import annotations
 
 import pickle
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -86,6 +87,21 @@ class _Opaque:
         else:
             self.__dict__['_state'] = state
 
+    # dict-subclass pickles (dnnlib.EasyDict and friends) restore their
+    # items through the mapping protocol; store them as attributes.
+    def __setitem__(self, key, value):
+        self.__dict__[key] = value
+
+    def __getitem__(self, key):
+        return self.__dict__[key]
+
+    def get(self, key, default=None):
+        return self.__dict__.get(key, default)
+
+    def items(self):
+        return {k: v for k, v in self.__dict__.items()
+                if not k.startswith('_')}.items()
+
     def __call__(self, *args, **kwargs):  # REDUCE on a "function" global
         if len(args) == 1 and isinstance(args[0], dict) \
                 and 'class_name' in args[0] and 'state' in args[0]:
@@ -93,6 +109,16 @@ class _Opaque:
         obj = _Opaque()
         obj.__dict__['_reduce_args'] = args
         return obj
+
+
+class TFNetworkStub(_Opaque):
+    """Inert stand-in for a TF1 ``dnnlib.tflib.network.Network`` pickle.
+
+    TF1 StyleGAN pickles carry the network as plain data — 'version',
+    'static_kwargs', 'components' (name → Network), 'variables'
+    (list of (name, ndarray)) — plus build-function source that the
+    reference would re-execute; here the source is inert (reference:
+    legacy.py:66-77 `_TFNetworkStub`)."""
 
 
 def _make_opaque(module: str, name: str):
@@ -104,6 +130,8 @@ class _SafeUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if (module, name) in _PERSISTENCE_FNS:
             return ExtractedModule
+        if module == 'dnnlib.tflib.network' and name == 'Network':
+            return TFNetworkStub
         if (module, name) in _ALLOWED:
             mod = __import__(module, fromlist=[name])
             return getattr(mod, name)
@@ -157,16 +185,246 @@ def init_kwargs_of(obj: Any) -> Dict[str, Any]:
     return kwargs
 
 
+# ---------------------------------------------------------------------------
+# TF1 (StyleGAN/StyleGAN2) pickle conversion — mirror of legacy.py:80-320,
+# without TensorFlow or executing the pickled build source.
+# ---------------------------------------------------------------------------
+
+def _as_dict(obj) -> Dict[str, Any]:
+    """static_kwargs / components arrive as EasyDict placeholders."""
+    if isinstance(obj, dict):
+        return dict(obj)
+    if isinstance(obj, _Opaque):
+        return {k: v for k, v in obj.__dict__.items()
+                if not k.startswith('_')}
+    return {}
+
+
+def _collect_tf_params(stub) -> Dict[str, np.ndarray]:
+    """Flatten (name, value) variables across nested components
+    (reference: legacy.py:79-90)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def recurse(prefix, net):
+        for name, value in getattr(net, 'variables', []) or []:
+            out[prefix + name] = np.asarray(value)
+        for name, comp in _as_dict(getattr(net, 'components', {})).items():
+            recurse(prefix + name + '/', comp)
+
+    recurse('', stub)
+    return out
+
+
+def _tf_conv(v: np.ndarray, flip: bool = False) -> np.ndarray:
+    """TF [kh, kw, in, out] → torch [out, in, kh, kw], optionally spatially
+    flipped (the Conv0_up/Skip cases, legacy.py:196,221)."""
+    if flip:
+        v = v[::-1, ::-1]
+    return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+
+
+def convert_tf_generator(stub) -> Dict[str, Any]:
+    """TF Generator stub → {'class_name', 'init_kwargs', 'state_dict'} with
+    torch-reference names/layouts (reference: legacy.py:117-227)."""
+    if getattr(stub, 'version', 0) < 4:
+        raise ValueError('TensorFlow pickle version too low')
+    tf_kwargs = _as_dict(stub.static_kwargs)
+    known = set()
+
+    def kwarg(name, default=None, none=None):
+        known.add(name)
+        val = tf_kwargs.get(name, default)
+        return val if val is not None else none
+
+    kwargs = dict(
+        z_dim=kwarg('latent_size', 512),
+        c_dim=kwarg('label_size', 0),
+        w_dim=kwarg('dlatent_size', 512),
+        img_resolution=kwarg('resolution', 1024),
+        img_channels=kwarg('num_channels', 3),
+        mapping_kwargs=dict(
+            num_layers=kwarg('mapping_layers', 8),
+            embed_features=kwarg('label_fmaps', None),
+            layer_features=kwarg('mapping_fmaps', None),
+            activation=kwarg('mapping_nonlinearity', 'lrelu'),
+            lr_multiplier=kwarg('mapping_lrmul', 0.01),
+            w_avg_beta=kwarg('w_avg_beta', 0.995, none=1),
+        ),
+        synthesis_kwargs=dict(
+            channel_base=kwarg('fmap_base', 16384) * 2,
+            channel_max=kwarg('fmap_max', 512),
+            num_fp16_res=kwarg('num_fp16_res', 0),
+            conv_clamp=kwarg('conv_clamp', None),
+            architecture=kwarg('architecture', 'skip'),
+            resample_filter=kwarg('resample_kernel', [1, 3, 3, 1]),
+            use_noise=kwarg('use_noise', True),
+            activation=kwarg('nonlinearity', 'lrelu'),
+        ),
+    )
+    for ignored in ('truncation_psi', 'truncation_cutoff',
+                    'style_mixing_prob', 'structure'):
+        known.add(ignored)
+    unknown = set(tf_kwargs) - known
+    if unknown:
+        raise ValueError(f'Unknown TensorFlow kwarg {sorted(unknown)[0]!r}')
+
+    p = _collect_tf_params(stub)
+    # very old pickles: per-lod ToRGB (legacy.py:172-177)
+    for name in list(p):
+        m = re.fullmatch(r'ToRGB_lod(\d+)/(.*)', name)
+        if m:
+            r = kwargs['img_resolution'] // (2 ** int(m.group(1)))
+            p[f'{r}x{r}/ToRGB/{m.group(2)}'] = p[name]
+            kwargs['synthesis_kwargs']['architecture'] = 'orig'
+
+    sd: Dict[str, np.ndarray] = {'mapping.w_avg': np.asarray(p['dlatent_avg'])}
+    if 'mapping/LabelEmbed/weight' in p:
+        sd['mapping.embed.weight'] = p['mapping/LabelEmbed/weight'].T
+        sd['mapping.embed.bias'] = p['mapping/LabelEmbed/bias']
+    for i in range(kwargs['mapping_kwargs']['num_layers']):
+        sd[f'mapping.fc{i}.weight'] = p[f'mapping/Dense{i}/weight'].T
+        sd[f'mapping.fc{i}.bias'] = p[f'mapping/Dense{i}/bias']
+
+    res = kwargs['img_resolution']
+    num_res = int(np.log2(res)) - 1  # blocks at 4..res
+    sd['synthesis.b4.const'] = np.asarray(p['synthesis/4x4/Const/const'][0])
+
+    def conv(dst, src, noise_idx=None, flip=False):
+        sd[f'{dst}.weight'] = _tf_conv(p[f'{src}/weight'], flip=flip)
+        sd[f'{dst}.bias'] = p[f'{src}/bias']
+        sd[f'{dst}.affine.weight'] = p[f'{src}/mod_weight'].T
+        sd[f'{dst}.affine.bias'] = p[f'{src}/mod_bias'] + 1
+        if noise_idx is not None:
+            sd[f'{dst}.noise_const'] = np.asarray(
+                p[f'synthesis/noise{noise_idx}'][0, 0])
+            sd[f'{dst}.noise_strength'] = np.asarray(
+                p[f'{src}/noise_strength'])
+
+    conv('synthesis.b4.conv1', 'synthesis/4x4/Conv', noise_idx=0)
+    for li in range(1, num_res):
+        r = 4 << li
+        lg = int(np.log2(r))
+        conv(f'synthesis.b{r}.conv0', f'synthesis/{r}x{r}/Conv0_up',
+             noise_idx=lg * 2 - 5, flip=True)
+        conv(f'synthesis.b{r}.conv1', f'synthesis/{r}x{r}/Conv1',
+             noise_idx=lg * 2 - 4)
+        if f'synthesis/{r}x{r}/Skip/weight' in p:
+            sd[f'synthesis.b{r}.skip.weight'] = _tf_conv(
+                p[f'synthesis/{r}x{r}/Skip/weight'], flip=True)
+    for li in range(num_res):
+        r = 4 << li
+        src = f'synthesis/{r}x{r}/ToRGB'
+        if f'{src}/weight' in p:
+            sd[f'synthesis.b{r}.torgb.weight'] = _tf_conv(p[f'{src}/weight'])
+            sd[f'synthesis.b{r}.torgb.bias'] = p[f'{src}/bias']
+            sd[f'synthesis.b{r}.torgb.affine.weight'] = p[f'{src}/mod_weight'].T
+            sd[f'synthesis.b{r}.torgb.affine.bias'] = p[f'{src}/mod_bias'] + 1
+    return dict(class_name='training.networks.Generator',
+                init_kwargs=kwargs, state_dict=sd)
+
+
+def convert_tf_discriminator(stub) -> Dict[str, Any]:
+    """TF Discriminator stub → torch-reference names/layouts
+    (reference: legacy.py:235-320)."""
+    if getattr(stub, 'version', 0) < 4:
+        raise ValueError('TensorFlow pickle version too low')
+    tf_kwargs = _as_dict(stub.static_kwargs)
+    known = {'structure'}
+
+    def kwarg(name, default=None):
+        known.add(name)
+        return tf_kwargs.get(name, default)
+
+    kwargs = dict(
+        c_dim=kwarg('label_size', 0),
+        img_resolution=kwarg('resolution', 1024),
+        img_channels=kwarg('num_channels', 3),
+        architecture=kwarg('architecture', 'resnet'),
+        channel_base=kwarg('fmap_base', 16384) * 2,
+        channel_max=kwarg('fmap_max', 512),
+        num_fp16_res=kwarg('num_fp16_res', 0),
+        conv_clamp=kwarg('conv_clamp', None),
+        cmap_dim=kwarg('mapping_fmaps', None),
+        block_kwargs=dict(
+            activation=kwarg('nonlinearity', 'lrelu'),
+            resample_filter=kwarg('resample_kernel', [1, 3, 3, 1]),
+            freeze_layers=kwarg('freeze_layers', 0),
+        ),
+        mapping_kwargs=dict(
+            num_layers=kwarg('mapping_layers', 0),
+            embed_features=kwarg('mapping_fmaps', None),
+            layer_features=kwarg('mapping_fmaps', None),
+            activation=kwarg('nonlinearity', 'lrelu'),
+            lr_multiplier=kwarg('mapping_lrmul', 0.1),
+        ),
+        epilogue_kwargs=dict(
+            mbstd_group_size=kwarg('mbstd_group_size', None),
+            mbstd_num_channels=kwarg('mbstd_num_features', 1),
+            activation=kwarg('nonlinearity', 'lrelu'),
+        ),
+    )
+    unknown = set(tf_kwargs) - known
+    if unknown:
+        raise ValueError(f'Unknown TensorFlow kwarg {sorted(unknown)[0]!r}')
+
+    p = _collect_tf_params(stub)
+    for name in list(p):
+        m = re.fullmatch(r'FromRGB_lod(\d+)/(.*)', name)
+        if m:
+            r = kwargs['img_resolution'] // (2 ** int(m.group(1)))
+            p[f'{r}x{r}/FromRGB/{m.group(2)}'] = p[name]
+            kwargs['architecture'] = 'orig'
+
+    sd: Dict[str, np.ndarray] = {}
+    res = kwargs['img_resolution']
+    for li in range(int(np.log2(res)) - 2):
+        r = res >> li
+        if f'{r}x{r}/FromRGB/weight' in p:
+            sd[f'b{r}.fromrgb.weight'] = _tf_conv(p[f'{r}x{r}/FromRGB/weight'])
+            sd[f'b{r}.fromrgb.bias'] = p[f'{r}x{r}/FromRGB/bias']
+        sd[f'b{r}.conv0.weight'] = _tf_conv(p[f'{r}x{r}/Conv0/weight'])
+        sd[f'b{r}.conv0.bias'] = p[f'{r}x{r}/Conv0/bias']
+        sd[f'b{r}.conv1.weight'] = _tf_conv(p[f'{r}x{r}/Conv1_down/weight'])
+        sd[f'b{r}.conv1.bias'] = p[f'{r}x{r}/Conv1_down/bias']
+        if f'{r}x{r}/Skip/weight' in p:
+            sd[f'b{r}.skip.weight'] = _tf_conv(p[f'{r}x{r}/Skip/weight'])
+    if 'LabelEmbed/weight' in p:
+        sd['mapping.embed.weight'] = p['LabelEmbed/weight'].T
+        sd['mapping.embed.bias'] = p['LabelEmbed/bias']
+    i = 0
+    while f'Mapping{i}/weight' in p:
+        sd[f'mapping.fc{i}.weight'] = p[f'Mapping{i}/weight'].T
+        sd[f'mapping.fc{i}.bias'] = p[f'Mapping{i}/bias']
+        i += 1
+    sd['b4.conv.weight'] = _tf_conv(p['4x4/Conv/weight'])
+    sd['b4.conv.bias'] = p['4x4/Conv/bias']
+    sd['b4.fc.weight'] = p['4x4/Dense0/weight'].T
+    sd['b4.fc.bias'] = p['4x4/Dense0/bias']
+    sd['b4.out.weight'] = p['Output/weight'].T
+    sd['b4.out.bias'] = p['Output/bias']
+    return dict(class_name='training.networks.Discriminator',
+                init_kwargs=kwargs, state_dict=sd)
+
+
 def load_network_pkl(path: str) -> Dict[str, Any]:
     """Load a reference training snapshot ``.pkl`` → for each network key
     ('G', 'D', 'G_ema', 'augment_pipe'): {'state_dict', 'init_kwargs',
     'class_name'}; other keys pass through as plain values.
 
-    This covers the PyTorch-pickle branch of the reference's
-    ``legacy.load_network_pkl`` (legacy.py:21-61); TF1 pickles predate the
-    reference's own training code and are out of scope (documented gap).
+    Covers both branches of the reference's ``legacy.load_network_pkl``
+    (legacy.py:21-61): PyTorch persistence pickles, and legacy TF1 pickles —
+    a (G, D, Gs) tuple of ``dnnlib.tflib.network.Network`` — converted via
+    the same name-remapping tables (legacy.py:117-320) without executing
+    any pickled source.
     """
     data = safe_load(path)
+    if (isinstance(data, tuple) and len(data) == 3
+            and all(isinstance(n, TFNetworkStub) for n in data)):
+        tf_g, tf_d, tf_gs = data
+        return dict(G=convert_tf_generator(tf_g),
+                    D=convert_tf_discriminator(tf_d),
+                    G_ema=convert_tf_generator(tf_gs),
+                    training_set_kwargs=None, augment_pipe=None)
     if not isinstance(data, dict):
         raise ValueError(f'{path}: expected a dict snapshot pickle')
     out: Dict[str, Any] = {}
