@@ -81,7 +81,10 @@ def main():
     else:
         _log("initializing variables on CPU backend...")
         t0 = time.time()
-        state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+        # init with a small batch: flax params are batch-independent, and the
+        # init forward traces run eagerly on one CPU — batch 32 made first-run
+        # init take ~1h; batch 4 (the mbstd group size) is ~8x cheaper
+        state = trainer.init_state(jax.random.PRNGKey(0), batch=4)
         _log(f"init done in {time.time() - t0:.0f}s")
         import pickle
         state_host = jax.device_get(state)

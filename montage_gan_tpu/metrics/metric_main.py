@@ -138,3 +138,57 @@ def pr50k3_full(opts):
                                    nhood_size=3)
     return {'pr50k3_full_precision': precision,
             'pr50k3_full_recall': recall}
+
+
+# ---------------------------------------------------------------------------
+# Legacy metrics (reference: metric_main.py:125-176) — capped real sets and
+# cropped PPL variants, kept for result compatibility with old SG2 runs.
+# ---------------------------------------------------------------------------
+
+@register_metric
+def kid50k(opts):
+    from .kernel_inception_distance import compute_kid
+    kid = compute_kid(opts, max_real=50000, num_gen=50000)
+    return {'kid50k': kid}
+
+
+@register_metric
+def pr50k3(opts):
+    from .precision_recall import compute_pr
+    precision, recall = compute_pr(opts, max_real=50000, num_gen=50000,
+                                   nhood_size=3)
+    return {'pr50k3_precision': precision, 'pr50k3_recall': recall}
+
+
+def _ppl_variant(opts, name, space, sampling, crop):
+    from .perceptual_path_length import compute_ppl
+    pair_fn = opts.get('sample_pair_fn')
+    if pair_fn is None:
+        def pair_fn(z0, z1):
+            return opts.sample_fn(z0), opts.sample_fn(z1)
+        space = 'z'  # w-space interpolation needs an ensemble pair sampler
+    ppl = compute_ppl(pair_fn, opts.z_dim, opts.extractor,
+                      num_samples=2000, epsilon=1e-4, space=space,
+                      sampling=sampling, crop=crop,
+                      batch_size=opts.batch_size, seed=opts.seed)
+    return {name: ppl}
+
+
+@register_metric
+def ppl_zfull(opts):
+    return _ppl_variant(opts, 'ppl_zfull', 'z', 'full', crop=True)
+
+
+@register_metric
+def ppl_wfull(opts):
+    return _ppl_variant(opts, 'ppl_wfull', 'w', 'full', crop=True)
+
+
+@register_metric
+def ppl_zend(opts):
+    return _ppl_variant(opts, 'ppl_zend', 'z', 'end', crop=True)
+
+
+@register_metric
+def ppl_wend(opts):
+    return _ppl_variant(opts, 'ppl_wend', 'w', 'end', crop=True)

@@ -196,3 +196,32 @@ def test_ppl_machinery():
     ppl = compute_ppl(smooth_pair, z_dim=8, extractor=IdFeatures(),
                       num_samples=64, batch_size=16)
     assert np.isfinite(ppl) and ppl >= 0
+
+
+def test_legacy_metric_registrations():
+    """All reference metric names (metric_main.py:88-176) are registered."""
+    from montage_gan_tpu.metrics import metric_main
+    expected = {'fid50k_full', 'kid50k_full', 'pr50k3_full', 'ppl2_wend',
+                'is50k', 'fid50k', 'kid50k', 'pr50k3', 'ppl_zfull',
+                'ppl_wfull', 'ppl_zend', 'ppl_wend'}
+    assert expected <= set(metric_main.list_valid_metrics())
+
+
+def test_ppl_legacy_variant_runs():
+    """ppl_zend end-to-end through the registry with a toy sampler."""
+    import jax.numpy as jnp
+    from montage_gan_tpu.metrics import metric_main
+
+    def sample_fn(z):
+        img = jnp.tile(jnp.tanh(z[:, :1])[:, None, None, None] * 0.5 + 0.5,
+                       (1, 16, 16, 3))
+        return img
+
+    class IdFeatures:
+        def __call__(self, x):
+            return x.reshape(x.shape[0], -1) / 255.0
+
+    res = metric_main.calc_metric('ppl_zend', dataset=None,
+                                  sample_fn=sample_fn, z_dim=8,
+                                  extractor=IdFeatures(), batch_size=64)
+    assert np.isfinite(res.results['ppl_zend'])
