@@ -64,7 +64,14 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
     w_avg = jnp.mean(ws_samples, axis=0, keepdims=True)
     w_std = float(jnp.sqrt(jnp.mean(jnp.square(ws_samples - w_avg))))
 
-    extractor = RandomFeatures(seed=1)
+    # perceptual distance: VGG16-LPIPS when converted weights are available
+    # (the reference's detector, projector.py:61-63); else the deterministic
+    # random-feature fallback
+    from ..metrics.features import build_extractor
+    extractor = build_extractor('auto_lpips')
+    if isinstance(extractor, RandomFeatures):
+        extractor = RandomFeatures(seed=1)
+    use_lpips = extractor.name == 'vgg16_lpips'
 
     # trainable per-layer noise buffers (reference: projector.py:56-59 —
     # noise_bufs are randn-reinitialized and co-optimized with w)
@@ -92,10 +99,14 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
         return comp  # [B, H, W, 4] in [0, 1]
 
     def distance(a01, b01):
-        # multi-scale pixel + random-feature distance
-        d = jnp.mean(jnp.square(a01 - b01))
         fa = extractor(a01[..., :3] * 255.0)
         fb = extractor(b01[..., :3] * 255.0)
+        if use_lpips:
+            # squared-L2 of LPIPS features = LPIPS distance
+            # (reference: projector.py:98-104)
+            return jnp.sum(jnp.square(fa - fb))
+        # fallback: multi-scale pixel + random-feature distance
+        d = jnp.mean(jnp.square(a01 - b01))
         return d + jnp.mean(jnp.square(fa - fb)) * 1e-4
 
     # schedule constants (reference: projector.py:28-35,82-89)

@@ -107,14 +107,53 @@ class InceptionV3Features:
         return self._apply(self._params, jnp.asarray(images, jnp.float32))
 
 
+class VGG16Features:
+    """VGG16 LPIPS features from converted weights.
+
+    Squared L2 distance between two images' features equals the LPIPS(VGG)
+    perceptual distance — the contract of the reference's ``vgg16.pt``
+    detector with ``return_lpips=True`` (reference:
+    metrics/perceptual_path_length.py:44-47, projector.py:61-63).  Convert
+    with ``python -m montage_gan_tpu.utils.convert_vgg16`` and point
+    ``MGT_VGG16_WEIGHTS`` at the ``.npz``.
+    """
+
+    name = 'vgg16_lpips'
+    feature_dim = None  # depends on input H, W (see vgg16_net.feature_dim)
+
+    def __init__(self, weights_path: Optional[str] = None):
+        from . import vgg16_net
+        self.weights_path = weights_path or os.environ.get(
+            'MGT_VGG16_WEIGHTS')
+        if not self.weights_path or not os.path.exists(self.weights_path):
+            raise FileNotFoundError(
+                'VGG16 weights not available. Convert once with '
+                'utils/convert_vgg16.py and point MGT_VGG16_WEIGHTS at the '
+                '.npz, or use the random-feature distance (relative only).')
+        self._params = vgg16_net.load_params(self.weights_path)
+        self._apply = jax.jit(vgg16_net.apply)
+
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [N, H, W, 3] float in [0, 255] → [N, D] LPIPS features."""
+        return self._apply(self._params, jnp.asarray(images, jnp.float32))
+
+
 def build_extractor(kind: str = 'auto', **kwargs):
     if kind == 'auto':
         try:
             return InceptionV3Features(**kwargs)
         except (FileNotFoundError, NotImplementedError):
             return RandomFeatures()
+    if kind == 'auto_lpips':
+        # perceptual-distance extractor (PPL, projector): prefer VGG16-LPIPS
+        try:
+            return VGG16Features(**kwargs)
+        except (FileNotFoundError, NotImplementedError):
+            return RandomFeatures()
     if kind == 'random':
         return RandomFeatures(**kwargs)
     if kind == 'inception':
         return InceptionV3Features(**kwargs)
+    if kind in ('vgg16', 'lpips'):
+        return VGG16Features(**kwargs)
     raise ValueError(kind)

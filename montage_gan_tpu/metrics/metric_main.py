@@ -51,6 +51,19 @@ class MetricOptions(EasyDict):
         self.seed = seed
         self.progress_fn = progress_fn
 
+    @property
+    def lpips_extractor(self):
+        """Perceptual-distance extractor for PPL: VGG16-LPIPS when weights
+        are available (the reference's detector, perceptual_path_length.py:
+        44-47), else the shared extractor."""
+        if '_lpips_extractor' not in self:
+            try:
+                from .features import VGG16Features
+                self['_lpips_extractor'] = VGG16Features()
+            except FileNotFoundError:
+                self['_lpips_extractor'] = self.extractor
+        return self['_lpips_extractor']
+
 
 def calc_metric(metric: str, **kwargs) -> EasyDict:
     assert is_valid_metric(metric), metric
@@ -124,7 +137,7 @@ def ppl2_wend(opts):
     if pair_fn is None:
         def pair_fn(z0, z1):
             return opts.sample_fn(z0), opts.sample_fn(z1)
-    ppl = compute_ppl(pair_fn, opts.z_dim, opts.extractor,
+    ppl = compute_ppl(pair_fn, opts.z_dim, opts.lpips_extractor,
                       num_samples=2000, epsilon=1e-4, space='z',
                       sampling='end', crop=False,
                       batch_size=opts.batch_size, seed=opts.seed)
@@ -167,7 +180,7 @@ def _ppl_variant(opts, name, space, sampling, crop):
         def pair_fn(z0, z1):
             return opts.sample_fn(z0), opts.sample_fn(z1)
         space = 'z'  # w-space interpolation needs an ensemble pair sampler
-    ppl = compute_ppl(pair_fn, opts.z_dim, opts.extractor,
+    ppl = compute_ppl(pair_fn, opts.z_dim, opts.lpips_extractor,
                       num_samples=2000, epsilon=1e-4, space=space,
                       sampling=sampling, crop=crop,
                       batch_size=opts.batch_size, seed=opts.seed)

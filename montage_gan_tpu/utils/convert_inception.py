@@ -23,7 +23,11 @@ import numpy as np
 def load_torch_state_dict(path: str) -> dict:
     """Load a .pth/.pt file into {name: np.ndarray} without CUDA."""
     import torch
-    obj = torch.load(path, map_location='cpu', weights_only=False)
+    try:
+        obj = torch.load(path, map_location='cpu', weights_only=False)
+    except RuntimeError:
+        # TorchScript archive (e.g. NVIDIA's detector .pt files)
+        obj = torch.jit.load(path, map_location='cpu')
     if hasattr(obj, 'state_dict'):  # full module / TorchScript module
         obj = obj.state_dict()
     if isinstance(obj, dict) and 'state_dict' in obj:
