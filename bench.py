@@ -61,12 +61,16 @@ def main():
     hyper = TrainHyper(batch_size=BATCH,
                        augment=make_augment_config('bgcfnc'),
                        ada_target=0.6,
-                       # global/renderer phases backprop through all 9 local
-                       # Gs at once; at batch 32 their temps (~10G) + resident
-                       # state (~7.5G) exceed the 16G chip, and async phase
-                       # dispatch overlaps two programs' temps — 4 rounds of 8
-                       # keeps the concurrent peak safely under HBM
-                       # (reference batch_gpu rounds, training_loop_aio.py:620-627)
+                       # async phase dispatch allocates program N+1's temps
+                       # while N executes: a full-batch local phase (~5.8G
+                       # temps) next to the ~7.5G resident state fits ONCE
+                       # but not twice on the 16G chip.  Microbatching local
+                       # phases to 16 (2 scan rounds, reference batch_gpu
+                       # rounds, training_loop_aio.py:620-627) halves the
+                       # per-program temps so back-to-back programs overlap
+                       # safely; the global/renderer phases backprop through
+                       # all 9 local Gs at once and need rounds of 8.
+                       microbatch=16,
                        global_microbatch=8)
     trainer = MontageTrainer(ens, hyper)
     executor = PhaseExecutor(trainer)

@@ -275,13 +275,16 @@ class PhaseExecutor:
         stats: Dict[str, Any] = {}
 
         def timed(phase_name, fn, *args, **kwargs):
-            if not time_phases:
-                return fn(*args, **kwargs)
-            t0 = _time.time()
-            out = fn(*args, **kwargs)
-            jax.block_until_ready(out)
-            stats[f'Timing/{phase_name}'] = _time.time() - t0
-            return out
+            # named region for profiler traces (the reference's
+            # record_function annotation, custom/loss_aio.py:105 etc.)
+            with jax.profiler.TraceAnnotation(phase_name):
+                if not time_phases:
+                    return fn(*args, **kwargs)
+                t0 = _time.time()
+                out = fn(*args, **kwargs)
+                jax.block_until_ready(out)
+                stats[f'Timing/{phase_name}'] = _time.time() - t0
+                return out
         variables = dict(state.variables)
         local_g = list(variables['local_g'])
         local_d = list(variables['local_d'])
