@@ -6,35 +6,40 @@ multichip dryrun and small configs, but its single XLA program grows with
 executor mirrors the reference's phase scheduler
 (reference: custom/training_loop_aio.py:431-519,609-638) the TPU way:
 
-  * ONE jitted program per phase *type* per layer *geometry* — the reference
-    dataset has 9 layers but only 6 distinct geometries, and same-geometry
-    layers reuse the same compiled program with different parameter pytrees
-    (the layer index enters as a traced scalar for the ws slice);
-  * lazy-regularization phases are skipped host-side by ``step % interval``
-    (identical to the reference's interval check, :611), so reg steps cost
-    nothing on off steps instead of a masked branch;
+  * ONE jitted program per layer *geometry* per reg-combo — all four local
+    phases of a layer (Gmain, [Greg], Dmain, [Dreg]) execute sequentially
+    inside a single program (identical optimizer ordering to the
+    reference's phase list, :443-519), with the RNG phase keys and the
+    z draws derived in-program.  The reference dataset has 9 layers but
+    only 6 distinct geometries, and same-geometry layers reuse the same
+    compiled program with different parameter pytrees (the layer index
+    enters as a traced scalar for the ws slice / pl_mean / aug_p lanes).
+    One dispatch per layer per step keeps the step from being dominated by
+    per-program dispatch latency on remote-tunnelled devices;
+  * lazy-regularization phases are gated host-side by ``step % interval``
+    (identical to the reference's interval check, :611) as *static* flags,
+    so off-interval steps compile/run without the reg sections entirely;
   * optimizer semantics are identical to the monolithic step: per-pair Adam
     with mb_ratio scaling, ``gain = interval`` loss scaling, nan_to_num
     scrubbing, sequential mapping updates.
 
-All phase functions donate their parameter/optimizer buffers.
+All phase programs donate their parameter/optimizer/state buffers.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.ensemble import MontageEnsemble
 from . import losses
 from .train_step import MontageTrainer, MontageTrainState, _nan_to_num
 
 
-def _accum_vag(loss_fn, params: Tuple, data: Tuple, rng, rounds: int):
+def _accum_vag(loss_fn, params, data, rng, rounds: int):
     """value_and_grad with gradient accumulation over microbatch rounds.
 
     ``loss_fn(*params, *data, rng) → (loss, aux)``; data leaves have leading
@@ -89,7 +94,7 @@ class PhaseExecutor:
         self.hyper = trainer.hyper
         # geometry key → representative layer index
         self._geom_of_layer = []
-        self._geom_rep: Dict[Tuple, int] = {}
+        self._geom_rep: Dict[Any, int] = {}
         for i in range(self.ens.cfg.num_layers):
             key = self.ens.cfg.layer_targets[i]
             self._geom_rep.setdefault(key, i)
@@ -97,128 +102,144 @@ class PhaseExecutor:
         self._fns: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
-    # Jitted phase builders (cached per geometry representative)
+    # Merged per-layer program (cached per geometry representative and
+    # reg-combo)
     # ------------------------------------------------------------------
 
-    def _gmain_fn(self, rep: int):
-        key = ('gmain', rep)
+    def _layer_fn(self, rep: int, do_greg: bool, do_dreg: bool):
+        """All local phases of one layer in ONE program.
+
+        Phase order and per-phase RNG streams replicate the unmerged
+        scheduler exactly: phase k of layer i uses
+        ``fold_in(rng, 4*i + 1 + k)``; z is drawn from ``fold_in(key, 0)``
+        and the loss rng is ``fold_in(key, 1)`` (the reference's fresh-z-
+        per-phase rule, custom/training_loop_aio.py:606-607).
+        """
+        key = ('layer', rep, do_greg, do_dreg)
         if key in self._fns:
             return self._fns[key]
-        ens, hyper, tx = self.ens, self.hyper, self.trainer.tx_local_g
+        ens, hyper = self.ens, self.hyper
+        tx_g, tx_d = self.trainer.tx_local_g, self.trainer.tx_local_d
+        g_gain = float(hyper.g_reg_interval or 1)
+        d_gain = float(hyper.d_reg_interval or 1)
+        batch, z_dim = hyper.batch_size, ens.cfg.z_dim
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def fn(m_vars, g_vars, opt, d_vars, layer_idx, z, rng, aug_p):
-            def loss_fn(m_params, g_params, z_mb, rng_mb):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+        def fn(m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean, sign_sum,
+               sign_count, layer_idx, real, rng, aug_p):
+            stats: Dict[str, Any] = {}
+            aug_p_i = aug_p[layer_idx]
+            phase_base = 4 * layer_idx + 1
+
+            def phase_key(j):
+                return jax.random.fold_in(rng, phase_base + j)
+
+            def z_of(k):
+                return jax.random.normal(jax.random.fold_in(k, 0),
+                                         (batch, z_dim))
+
+            # ---- local Gmain
+            k = phase_key(0)
+
+            def gmain_loss(m_params, g_params, z_mb, rng_mb):
                 diff = {'mapping': {**m_vars, 'params': m_params},
                         'g': {**g_vars, 'params': g_params}}
                 return losses.local_gmain_loss(
                     diff, ens, rep, d_vars, z_mb, rng_mb,
-                    self.trainer._local_aug, aug_p,
+                    self.trainer._local_aug, aug_p_i,
                     hyper.style_mixing_prob, layer_idx=layer_idx)
 
-            (loss, aux), grads = _accum_vag(
-                loss_fn, (m_vars['params'], g_vars['params']), (z,), rng,
-                hyper.accum_rounds)
+            (_, aux), grads = _accum_vag(
+                gmain_loss, (m_vars['params'], g_vars['params']),
+                (z_of(k),), jax.random.fold_in(k, 1), hyper.accum_rounds)
             gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
             params = {'mapping': m_vars['params'], 'g': g_vars['params']}
-            updates, opt = tx.update(gtree, opt, params)
+            updates, opt_g = tx_g.update(gtree, opt_g, params)
             new = optax.apply_updates(params, updates)
-            m_out = {**m_vars, 'params': new['mapping'],
-                     'moving_stats': aux['moving_stats']}
-            g_out = {**g_vars, 'params': new['g']}
-            return m_out, g_out, opt, aux['stats']
+            m_vars = {**m_vars, 'params': new['mapping'],
+                      'moving_stats': aux['moving_stats']}
+            g_vars = {**g_vars, 'params': new['g']}
+            stats.update(aux['stats'])
 
-        self._fns[key] = fn
-        return fn
+            # ---- local Greg (path length), every g_reg_interval steps
+            if do_greg:
+                k = phase_key(1)
+                pl_mean_i = pl_mean[layer_idx]
 
-    def _gpl_fn(self, rep: int):
-        key = ('gpl', rep)
-        if key in self._fns:
-            return self._fns[key]
-        ens, hyper, tx = self.ens, self.hyper, self.trainer.tx_local_g
-        gain = float(hyper.g_reg_interval)
+                def gpl_loss(m_params, g_params, z_mb, rng_mb):
+                    diff = {'mapping': {**m_vars, 'params': m_params},
+                            'g': {**g_vars, 'params': g_params}}
+                    loss, aux = losses.local_gpl_loss(
+                        diff, ens, rep, z_mb, rng_mb, pl_mean_i,
+                        hyper.pl_batch_shrink, hyper.pl_decay,
+                        hyper.pl_weight, hyper.style_mixing_prob,
+                        layer_idx=layer_idx)
+                    return loss * g_gain, aux
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def fn(m_vars, g_vars, opt, layer_idx, z, rng, pl_mean_i):
-            def loss_fn(m_params, g_params, z_mb, rng_mb):
-                diff = {'mapping': {**m_vars, 'params': m_params},
-                        'g': {**g_vars, 'params': g_params}}
-                loss, aux = losses.local_gpl_loss(
-                    diff, ens, rep, z_mb, rng_mb, pl_mean_i,
-                    hyper.pl_batch_shrink, hyper.pl_decay, hyper.pl_weight,
-                    hyper.style_mixing_prob, layer_idx=layer_idx)
-                return loss * gain, aux
+                (_, aux), grads = _accum_vag(
+                    gpl_loss, (m_vars['params'], g_vars['params']),
+                    (z_of(k),), jax.random.fold_in(k, 1),
+                    hyper.accum_rounds)
+                gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
+                params = {'mapping': m_vars['params'], 'g': g_vars['params']}
+                updates, opt_g = tx_g.update(gtree, opt_g, params)
+                new = optax.apply_updates(params, updates)
+                m_vars = {**m_vars, 'params': new['mapping'],
+                          'moving_stats': aux['moving_stats']}
+                g_vars = {**g_vars, 'params': new['g']}
+                pl_mean = pl_mean.at[layer_idx].set(aux['pl_mean'])
+                stats.update(aux['stats'])
 
-            (loss, aux), grads = _accum_vag(
-                loss_fn, (m_vars['params'], g_vars['params']), (z,), rng,
-                hyper.accum_rounds)
-            gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
-            params = {'mapping': m_vars['params'], 'g': g_vars['params']}
-            updates, opt = tx.update(gtree, opt, params)
-            new = optax.apply_updates(params, updates)
-            m_out = {**m_vars, 'params': new['mapping'],
-                     'moving_stats': aux['moving_stats']}
-            g_out = {**g_vars, 'params': new['g']}
-            return m_out, g_out, opt, aux['pl_mean'], aux['stats']
+            # ---- local Dmain (uses the just-updated G, like the
+            # reference's sequential phase list)
+            k = phase_key(2)
 
-        self._fns[key] = fn
-        return fn
-
-    def _dmain_fn(self, rep: int):
-        key = ('dmain', rep)
-        if key in self._fns:
-            return self._fns[key]
-        ens, hyper, tx = self.ens, self.hyper, self.trainer.tx_local_d
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fn(d_vars, opt, m_vars, g_vars, layer_idx, z, real, rng, aug_p):
-            def loss_fn(d_params, z_mb, real_mb, rng_mb):
+            def dmain_loss(d_params, z_mb, real_mb, rng_mb):
                 dv = {**d_vars, 'params': d_params}
                 frozen = {'mapping': m_vars, 'g': g_vars}
                 return losses.local_dmain_loss(
                     dv, ens, rep, frozen, z_mb, real_mb, rng_mb,
-                    self.trainer._local_aug, aug_p, hyper.style_mixing_prob,
-                    layer_idx=layer_idx)
+                    self.trainer._local_aug, aug_p_i,
+                    hyper.style_mixing_prob, layer_idx=layer_idx)
 
-            (loss, aux), grads = _accum_vag(
-                loss_fn, (d_vars['params'],), (z, real), rng,
-                hyper.accum_rounds)
-            grads = grads[0]
-            grads = _nan_to_num(grads)
-            updates, opt = tx.update(grads, opt, d_vars['params'])
-            d_out = {**d_vars,
-                     'params': optax.apply_updates(d_vars['params'], updates)}
-            return (d_out, opt, aux['moving_stats'], aux['sign_real'],
-                    aux['stats'])
+            (_, aux), grads = _accum_vag(
+                dmain_loss, (d_vars['params'],), (z_of(k), real),
+                jax.random.fold_in(k, 1), hyper.accum_rounds)
+            grads = _nan_to_num(grads[0])
+            updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
+            d_vars = {**d_vars,
+                      'params': optax.apply_updates(d_vars['params'],
+                                                    updates)}
+            m_vars = {**m_vars, 'moving_stats': aux['moving_stats']}
+            sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
+            sign_count = sign_count.at[layer_idx].add(1.0)
+            stats.update(aux['stats'])
 
-        self._fns[key] = fn
-        return fn
+            # ---- local Dreg (R1), every d_reg_interval steps
+            if do_dreg:
+                k = phase_key(3)
 
-    def _dr1_fn(self, rep: int):
-        key = ('dr1', rep)
-        if key in self._fns:
-            return self._fns[key]
-        ens, hyper, tx = self.ens, self.hyper, self.trainer.tx_local_d
-        gain = float(hyper.d_reg_interval)
+                def dr1_loss(d_params, real_mb, rng_mb):
+                    dv = {**d_vars, 'params': d_params}
+                    loss, aux = losses.local_dr1_loss(
+                        dv, ens, rep, real_mb, rng_mb,
+                        self.trainer._local_aug, aug_p_i, hyper.r1_gamma)
+                    return loss * d_gain, aux
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fn(d_vars, opt, real, rng, aug_p):
-            def loss_fn(d_params, real_mb, rng_mb):
-                dv = {**d_vars, 'params': d_params}
-                loss, aux = losses.local_dr1_loss(
-                    dv, ens, rep, real_mb, rng_mb, self.trainer._local_aug,
-                    aug_p, hyper.r1_gamma)
-                return loss * gain, aux
+                (_, aux), grads = _accum_vag(
+                    dr1_loss, (d_vars['params'],), (real,),
+                    jax.random.fold_in(k, 1), hyper.accum_rounds)
+                grads = _nan_to_num(grads[0])
+                updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
+                d_vars = {**d_vars,
+                          'params': optax.apply_updates(d_vars['params'],
+                                                        updates)}
+                sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
+                sign_count = sign_count.at[layer_idx].add(1.0)
+                stats.update(aux['stats'])
 
-            (loss, aux), grads = _accum_vag(
-                loss_fn, (d_vars['params'],), (real,), rng,
-                hyper.accum_rounds)
-            grads = grads[0]
-            grads = _nan_to_num(grads)
-            updates, opt = tx.update(grads, opt, d_vars['params'])
-            d_out = {**d_vars,
-                     'params': optax.apply_updates(d_vars['params'], updates)}
-            return d_out, opt, aux['sign_real'], aux['stats']
+            return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
+                    sign_sum, sign_count, stats)
 
         self._fns[key] = fn
         return fn
@@ -235,9 +256,12 @@ class PhaseExecutor:
             jax.jit, donate_argnums=(0,),
             static_argnames=('do_dreg', 'do_global_g', 'do_global_d',
                              'do_global_dmain', 'do_renderer', 'do_ema_ada'))
-        def fn(state, stack, crops, rng, do_dreg=False, do_global_g=False,
-               do_global_d=False, do_global_dmain=None, do_renderer=False,
-               do_ema_ada=False):
+        def fn(state, stack, crops, rng, salt, do_dreg=False,
+               do_global_g=False, do_global_d=False, do_global_dmain=None,
+               do_renderer=False, do_ema_ada=False):
+            # fold the phase salt in-program: one fewer host dispatch per
+            # tail phase on remote device transports
+            rng = jax.random.fold_in(rng, salt)
             return trainer.partial_step(state, stack, crops, rng,
                                         do_local=False, do_global=False,
                                         do_greg=False, do_dreg=do_dreg,
@@ -264,10 +288,11 @@ class PhaseExecutor:
         sync on ``state.step`` — the sync stalls the dispatch pipeline every
         step (expensive over a remote device transport).
 
-        ``time_phases=True`` synchronizes after every phase and reports
-        ``Timing/<phase>`` wall-times (the reference's per-phase CUDA-event
-        timing, custom/training_loop_aio.py:511-516,860-865); costs pipeline
-        overlap, so enable only on tick boundaries."""
+        ``time_phases=True`` synchronizes after every phase program and
+        reports ``Timing/<phase>`` wall-times (the reference's per-phase
+        CUDA-event timing, custom/training_loop_aio.py:511-516,860-865);
+        with merged local programs the local granularity is per *layer*;
+        costs pipeline overlap, so enable only on tick boundaries."""
         import time as _time
         ens, hyper = self.ens, self.hyper
         if step_idx is None:
@@ -285,6 +310,7 @@ class PhaseExecutor:
                 jax.block_until_ready(out)
                 stats[f'Timing/{phase_name}'] = _time.time() - t0
                 return out
+
         variables = dict(state.variables)
         local_g = list(variables['local_g'])
         local_d = list(variables['local_d'])
@@ -296,64 +322,23 @@ class PhaseExecutor:
         sign_count = state.ada_sign_count
         mapping = variables['mapping']
 
-        phase = 0
-
-        def prng():
-            nonlocal phase
-            phase += 1
-            return jax.random.fold_in(rng, phase)
-
-        def zs(k):
-            return jax.random.normal(jax.random.fold_in(k, 0),
-                                     (stack.shape[0], ens.cfg.z_dim))
-
         if hyper.train_local:
+            do_greg = (hyper.g_reg_interval is not None
+                       and hyper.pl_weight != 0
+                       and step_idx % hyper.g_reg_interval == 0)
+            do_dreg = (hyper.d_reg_interval is not None
+                       and hyper.r1_gamma != 0
+                       and step_idx % hyper.d_reg_interval == 0)
             for i in range(ens.cfg.num_layers):
                 rep = self._geom_of_layer[i]
                 name = ens.cfg.layer_names[i]
-                li = jnp.asarray(i, jnp.int32)
-
-                k = prng()
-                mapping, local_g[i], opt_g[i], st = timed(
-                    f'local_Gmain_{name}', self._gmain_fn(rep),
-                    mapping, local_g[i], opt_g[i], local_d[i], li, zs(k),
-                    jax.random.fold_in(k, 1), state.aug_p[i])
+                (mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
+                 pl_mean, sign_sum, sign_count, st) = timed(
+                    f'local_{name}', self._layer_fn(rep, do_greg, do_dreg),
+                    mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
+                    pl_mean, sign_sum, sign_count,
+                    jnp.asarray(i, jnp.int32), crops[i], rng, state.aug_p)
                 stats.update({f'{name}/{s}': v for s, v in st.items()})
-
-                if (hyper.g_reg_interval is not None and hyper.pl_weight != 0
-                        and step_idx % hyper.g_reg_interval == 0):
-                    k = prng()
-                    mapping, local_g[i], opt_g[i], pl_i, st = timed(
-                        f'local_Greg_{name}', self._gpl_fn(rep),
-                        mapping, local_g[i], opt_g[i], li, zs(k),
-                        jax.random.fold_in(k, 1), pl_mean[i])
-                    pl_mean = pl_mean.at[i].set(pl_i)
-                    stats.update({f'{name}/{s}': v for s, v in st.items()})
-                else:
-                    prng()
-
-                k = prng()
-                local_d[i], opt_d[i], ms, sr, st = timed(
-                    f'local_Dmain_{name}', self._dmain_fn(rep),
-                    local_d[i], opt_d[i], mapping, local_g[i], li, zs(k),
-                    crops[i], jax.random.fold_in(k, 1), state.aug_p[i])
-                mapping = {**mapping, 'moving_stats': ms}
-                sign_sum = sign_sum.at[i].add(sr)
-                sign_count = sign_count.at[i].add(1.0)
-                stats.update({f'{name}/{s}': v for s, v in st.items()})
-
-                if (hyper.d_reg_interval is not None and hyper.r1_gamma != 0
-                        and step_idx % hyper.d_reg_interval == 0):
-                    k = prng()
-                    local_d[i], opt_d[i], sr, st = timed(
-                        f'local_Dreg_{name}', self._dr1_fn(rep),
-                        local_d[i], opt_d[i], crops[i],
-                        jax.random.fold_in(k, 1), state.aug_p[i])
-                    sign_sum = sign_sum.at[i].add(sr)
-                    sign_count = sign_count.at[i].add(1.0)
-                    stats.update({f'{name}/{s}': v for s, v in st.items()})
-                else:
-                    prng()
 
         # reassemble state for the global/renderer/EMA/ADA tail
         variables['mapping'] = mapping
@@ -369,35 +354,33 @@ class PhaseExecutor:
         goi = hyper.global_optimize_interval
         do_global = (hyper.train_global and ens.stn is not None
                      and step_idx % goi == 0)
-        do_dreg = (do_global and hyper.d_reg_interval is not None
-                   and hyper.global_r1_gamma != 0
-                   and step_idx % (hyper.d_reg_interval * goi) == 0)
+        do_gdreg = (do_global and hyper.d_reg_interval is not None
+                    and hyper.global_r1_gamma != 0
+                    and step_idx % (hyper.d_reg_interval * goi) == 0)
         do_renderer = hyper.train_renderer and self.trainer._use_renderer
 
         tail = self._tail_fn()
         st = mid_state
+        import numpy as _np
         if do_renderer:
             st, t_stats = timed('Renderer', tail, st, stack, crops,
-                                jax.random.fold_in(rng, 9996),
-                                do_renderer=True)
+                                rng, _np.int32(9996), do_renderer=True)
             stats.update(t_stats)
         if do_global:
             st, t_stats = timed('global_Gmain', tail, st, stack, crops,
-                                jax.random.fold_in(rng, 9997),
-                                do_global_g=True)
+                                rng, _np.int32(9997), do_global_g=True)
             stats.update(t_stats)
             st, t_stats = timed('global_Dmain', tail, st, stack, crops,
-                                jax.random.fold_in(rng, 9998),
+                                rng, _np.int32(9998),
                                 do_global_d=True, do_dreg=False)
             stats.update(t_stats)
-        if do_dreg:
+        if do_gdreg:
             st, t_stats = timed('global_Dreg', tail, st, stack, crops,
-                                jax.random.fold_in(rng, 9999),
+                                rng, _np.int32(9999),
                                 do_global_d=True, do_global_dmain=False,
                                 do_dreg=True)
             stats.update(t_stats)
         new_state, t_stats = timed('ema_ada', tail, st, stack, crops,
-                                   jax.random.fold_in(rng, 10000),
-                                   do_ema_ada=True)
+                                   rng, _np.int32(10000), do_ema_ada=True)
         stats.update(t_stats)
         return new_state, stats

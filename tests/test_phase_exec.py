@@ -60,8 +60,12 @@ def test_phase_executor_trains():
         state, stats = executor.step(state, stack, crops,
                                      jax.random.PRNGKey(5 + t))
     assert int(state.step) == 3
-    assert ('gmain', 0) in executor._fns and ('gmain', 1) in executor._fns
-    assert ('gmain', 2) not in executor._fns  # 'c' reused 'a''s program
+    # merged per-layer programs, cached per (geometry rep, reg combo)
+    assert ('layer', 0, True, True) in executor._fns
+    assert ('layer', 1, True, True) in executor._fns
+    assert ('layer', 0, False, False) in executor._fns
+    # 'c' reused 'a''s programs (same geometry)
+    assert not any(k[1] == 2 for k in executor._fns if k[0] == 'layer')
 
     s1_leaves = jax.tree_util.tree_leaves(
         jax.device_get(params_only(state.variables)))
