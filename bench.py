@@ -41,8 +41,11 @@ def _log(msg):
 BASELINE_IMGS_PER_SEC = 25.0
 
 BATCH = 32
-WARMUP_STEPS = 2
-MEASURE_STEPS = 16  # one full D-reg interval → amortized lazy-reg cost included
+# warmup step indices chosen to compile/warm EVERY reg-combo program before
+# the timed window: the first step (idx 0) warms the full-reg combo + all
+# tail variants, idx 4 warms G-reg-only, idx 1/2 the no-reg combo
+WARMUP_STEP_IDXS = (4, 1, 2)
+MEASURE_STEPS = 32  # two full D-reg intervals → amortized lazy-reg cost included
 
 
 def main():
@@ -118,16 +121,17 @@ def main():
     compile_s = time.time() - t_compile
     _log(f"first step (compile+run): {compile_s:.0f}s")
 
-    # warm both reg-interval variants (steps where R1/PL do and don't run)
-    for i in range(WARMUP_STEPS):
+    # warm every reg-interval program variant (steps where R1/PL do and
+    # don't run) so the timed window sees zero compiles/cache loads
+    for i, widx in enumerate(WARMUP_STEP_IDXS):
         t0 = time.time()
         state, stats = executor.step(state, stack, crops,
                                      jax.random.PRNGKey(2 + i),
-                                     step_idx=step_idx,
-                                     time_phases=(i == WARMUP_STEPS - 1))
-        step_idx += 1
+                                     step_idx=widx,
+                                     time_phases=(i == len(WARMUP_STEP_IDXS)
+                                                  - 1))
         jax.block_until_ready(stats)
-        _log(f"warmup step {i}: {time.time() - t0:.2f}s")
+        _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
     for k, v in sorted(stats.items()):
         if k.startswith('Timing/'):
             _log(f"{k}: {float(v):.2f}s")
@@ -140,6 +144,8 @@ def main():
         step_idx += 1
     jax.block_until_ready(stats)
     dt = time.time() - t0
+    _log(f"measure: {MEASURE_STEPS} steps in {dt:.2f}s "
+         f"({dt / MEASURE_STEPS * 1000:.0f} ms/step)")
 
     imgs_per_sec = BATCH * MEASURE_STEPS / dt
     result = {
