@@ -28,6 +28,21 @@ from jax import lax
 IntOrPair = Union[int, Sequence[int]]
 
 
+def _impl() -> str:
+    """'xla' (default) or 'pallas' — from MGT_UPFIRDN_IMPL.
+
+    'pallas' engages only on a TPU backend (on CPU the kernel would need
+    interpret mode); 'pallas_force' engages unconditionally (tests wrap
+    calls in ``force_tpu_interpret_mode``)."""
+    import os
+    impl = os.environ.get('MGT_UPFIRDN_IMPL', 'xla')
+    if impl == 'pallas' and jax.default_backend() != 'tpu':
+        return 'xla'
+    if impl == 'pallas_force':
+        return 'pallas'
+    return impl
+
+
 def _parse_scaling(scaling: IntOrPair) -> Tuple[int, int]:
     if isinstance(scaling, int):
         scaling = [scaling, scaling]
@@ -107,6 +122,23 @@ def upfirdn2d(x: jax.Array,
     f = np.asarray(f, dtype=np.float32)
     assert f.ndim in (1, 2)
 
+    # dual-implementation switch (the reference's impl='cuda'|'ref' pattern,
+    # torch_utils/ops/upfirdn2d.py:174-176): MGT_UPFIRDN_IMPL=pallas routes
+    # separable filters through the hand-written Pallas kernel
+    if f.ndim == 1 and _impl() == 'pallas':
+        from .pallas.upfirdn2d_kernel import upfirdn2d_pallas
+        return upfirdn2d_pallas(x, f, up=up, down=down, padding=padding,
+                                flip_filter=flip_filter, gain=gain)
+    return _upfirdn2d_xla(x, f, up=up, down=down, padding=padding,
+                          flip_filter=flip_filter, gain=gain)
+
+
+def _upfirdn2d_xla(x: jax.Array, f, up: IntOrPair = 1, down: IntOrPair = 1,
+                   padding: IntOrPair = 0, flip_filter: bool = False,
+                   gain: float = 1.0) -> jax.Array:
+    """The XLA-composed implementation, bypassing the impl dispatch (used
+    directly by the Pallas kernel's transpose VJP)."""
+    f = np.asarray(f, dtype=np.float32)
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
