@@ -187,7 +187,9 @@ def main(**kwargs):
     os.makedirs(run_dir, exist_ok=True)
     logger = Logger(os.path.join(run_dir, 'log.txt'))
     with open(os.path.join(run_dir, 'training_options.json'), 'w') as f:
-        json.dump({k: str(v) for k, v in opts.items()}, f, indent=2)
+        json.dump({k: (v if isinstance(v, (int, float, bool, str,
+                                           type(None))) else str(v))
+                   for k, v in opts.items()}, f, indent=2)
 
     resume_path = opts.resume
     metrics = [] if opts.metrics == 'none' else opts.metrics.split(',')
@@ -199,6 +201,7 @@ def main(**kwargs):
             image_snapshot_ticks=opts.img_snap,
             network_snapshot_ticks=opts.net_snap,
             random_seed=opts.seed, resume_path=resume_path,
+            num_devices=opts.num_devices,
             metrics=metrics, run_once=opts.run_once,
             save_all_layers=opts.save_all_layers,
             run_latent_interpolation=opts.run_latent_interpolation,
