@@ -87,6 +87,26 @@ def _round_block(n: int, target: int) -> int:
     return 1
 
 
+def _lane_block(c: int) -> int:
+    """Channel (lane) block: Mosaic requires the last block dim to be a
+    multiple of 128 or the full dimension."""
+    if c % 128 == 0:
+        return 128
+    return c
+
+
+def _sublane_block(w: int, budget_rows: int) -> int:
+    """Second-to-last block dim: a multiple of 8 dividing w (or w itself),
+    at most ``budget_rows``.  Returns 0 if no legal tiling exists."""
+    if w <= budget_rows:
+        return w
+    best = 0
+    for b in range(8, min(budget_rows, w) + 1, 8):
+        if w % b == 0:
+            best = b
+    return best
+
+
 def _taps(f: np.ndarray, flip_filter: bool, gain: float) -> Tuple[float, ...]:
     fk = np.asarray(f, np.float32) * np.float32(gain)
     if not flip_filter:
@@ -100,8 +120,8 @@ def _pass_h(x: jax.Array, taps, up, down, p0, p1) -> jax.Array:
     out_w = (w * up + p0 + p1 - len(taps)) // down + 1
     assert out_w > 0
     x2 = x.reshape(n * h, w, c)
-    bc = _round_block(c, 128)
-    br = _round_block(n * h, max(1, (1 << 21) // (4 * max(w * up + abs(p0) +
+    bc = _lane_block(c)
+    br = _round_block(n * h, max(1, (1 << 18) // (4 * max(w * up + abs(p0) +
                                                           abs(p1), out_w)
                                                   * bc)))
     compute = functools.partial(_pass_compute, taps=taps, up=up, down=down,
@@ -128,9 +148,12 @@ def _pass_v(x: jax.Array, taps, up, down, p0, p1) -> jax.Array:
     n, h, w, c = x.shape
     out_h = (h * up + p0 + p1 - len(taps)) // down + 1
     assert out_h > 0
-    bc = _round_block(c, 128)
-    bw = _round_block(w, max(1, (1 << 21) // (4 * max(h * up + abs(p0) +
-                                                      abs(p1), out_h) * bc)))
+    bc = _lane_block(c)
+    bw = _sublane_block(w, max(1, (1 << 18) // (4 * max(h * up + abs(p0) +
+                                                        abs(p1), out_h)
+                                                 * bc)))
+    if bw == 0:
+        return None  # no legal Mosaic tiling; caller falls back to XLA
     compute = functools.partial(_pass_compute, taps=taps, up=up, down=down,
                                 p0=p0, p1=p1, axis=0, out_len=out_h,
                                 out_dtype=x.dtype)
@@ -155,8 +178,15 @@ def _forward(x, f, upx, upy, downx, downy, padx0, padx1, pady0, pady1,
              flip_filter, gain):
     g = float(np.sqrt(gain))
     x = _pass_h(x, _taps(f, flip_filter, g), upx, downx, padx0, padx1)
-    x = _pass_v(x, _taps(f, flip_filter, g), upy, downy, pady0, pady1)
-    return x
+    out = _pass_v(x, _taps(f, flip_filter, g), upy, downy, pady0, pady1)
+    if out is None:
+        # no legal Mosaic tiling for the vertical pass (intermediate width
+        # not a multiple of 8): finish with the XLA twin's vertical pass
+        out = _xla_upfirdn2d(x, np.asarray(f, np.float32)[:, None],
+                             up=[1, upy], down=[1, downy],
+                             padding=[0, 0, pady0, pady1],
+                             flip_filter=flip_filter, gain=g)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
