@@ -98,16 +98,19 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
             comp = alpha_composite(normalize_zero1(jnp.clip(stack, -1, 1)))
         return comp  # [B, H, W, 4] in [0, 1]
 
-    def distance(a01, b01):
+    # target features are loop-invariant: compute once, not per step
+    # (the reference also extracts target_features once, projector.py:64-68)
+    target_features = extractor(target01[..., :3] * 255.0)
+
+    def distance(a01, b01_features, b01):
         fa = extractor(a01[..., :3] * 255.0)
-        fb = extractor(b01[..., :3] * 255.0)
         if use_lpips:
             # squared-L2 of LPIPS features = LPIPS distance
             # (reference: projector.py:98-104)
-            return jnp.sum(jnp.square(fa - fb))
+            return jnp.sum(jnp.square(fa - b01_features))
         # fallback: multi-scale pixel + random-feature distance
         d = jnp.mean(jnp.square(a01 - b01))
-        return d + jnp.mean(jnp.square(fa - fb)) * 1e-4
+        return d + jnp.mean(jnp.square(fa - b01_features)) * 1e-4
 
     # schedule constants (reference: projector.py:28-35,82-89)
     initial_lr = 0.1
@@ -158,7 +161,7 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
         def loss_fn(p):
             w_in = p['w'] + jax.random.normal(key, p['w'].shape) * w_noise_scale
             out01 = render(w_in, p.get('noise'))
-            d = distance(out01, target01)
+            d = distance(out01, target_features, target01)
             if 'noise' in p:
                 d = d + noise_reg(p['noise']) * regularize_noise_weight
             return d

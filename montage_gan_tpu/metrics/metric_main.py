@@ -57,11 +57,11 @@ class MetricOptions(EasyDict):
         are available (the reference's detector, perceptual_path_length.py:
         44-47), else the shared extractor."""
         if '_lpips_extractor' not in self:
-            try:
-                from .features import VGG16Features
-                self['_lpips_extractor'] = VGG16Features()
-            except FileNotFoundError:
-                self['_lpips_extractor'] = self.extractor
+            from .features import RandomFeatures, build_extractor
+            ex = build_extractor('auto_lpips')
+            if isinstance(ex, RandomFeatures):
+                ex = self.extractor  # fall back to the shared extractor
+            self['_lpips_extractor'] = ex
         return self['_lpips_extractor']
 
 

@@ -151,12 +151,20 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray],
                 arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW → HWIO
             params[kk] = arr
 
+    import re
     for src in (sd, lpips_sd or {}):
         for k, v in src.items():
             if '.model.1.weight' in k or (k.startswith('lin') and
                                           k.endswith('.weight')):
-                l = int(k.split('.')[0].replace('lin', ''))
-                params[f'lin{l}'] = np.asarray(v, np.float32).reshape(-1)
+                # accept 'lin0.model.1.weight' and the ModuleList alias
+                # 'lins.0.model.1.weight'; ignore unrecognized shapes
+                m = re.match(r'lins?\.?(\d+)\.', k)
+                if m is None:
+                    continue
+                lin = np.asarray(v, np.float32).reshape(-1)
+                # LPIPS linear heads are non-negative by construction;
+                # clamp so sqrt() below can never produce NaN features
+                params[f'lin{int(m.group(1))}'] = np.maximum(lin, 0.0)
 
     for name, _ in CONFIG:
         if name.startswith('pool'):

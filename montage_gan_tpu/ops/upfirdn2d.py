@@ -138,7 +138,11 @@ def _upfirdn2d_xla(x: jax.Array, f, up: IntOrPair = 1, down: IntOrPair = 1,
                    gain: float = 1.0) -> jax.Array:
     """The XLA-composed implementation, bypassing the impl dispatch (used
     directly by the Pallas kernel's transpose VJP)."""
+    if f is None:
+        f = np.ones([1, 1], dtype=np.float32)
     f = np.asarray(f, dtype=np.float32)
+    if f.ndim == 0:
+        f = f[np.newaxis, np.newaxis]
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)

@@ -122,7 +122,7 @@ class PhaseExecutor:
         tx_g, tx_d = self.trainer.tx_local_g, self.trainer.tx_local_d
         g_gain = float(hyper.g_reg_interval or 1)
         d_gain = float(hyper.d_reg_interval or 1)
-        batch, z_dim = hyper.batch_size, ens.cfg.z_dim
+        z_dim = ens.cfg.z_dim
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
         def fn(m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean, sign_sum,
@@ -130,6 +130,7 @@ class PhaseExecutor:
             stats: Dict[str, Any] = {}
             aug_p_i = aug_p[layer_idx]
             phase_base = 4 * layer_idx + 1
+            batch = real.shape[0]  # actual data batch (may be < batch_size)
 
             def phase_key(j):
                 return jax.random.fold_in(rng, phase_base + j)

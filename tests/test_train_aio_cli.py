@@ -56,7 +56,7 @@ def test_train_aio_cli_end_to_end(tiny_dataset, tmp_path):
     assert any(k.endswith('Loss/G/loss') for k in rec), rec.keys()
     for k, v in rec.items():
         if isinstance(v, dict) and 'mean' in v:
-            assert np.isfinite(v['mean']) or np.isnan(v['mean']) is False
+            assert np.isfinite(v['mean']), (k, v)
 
 
 def test_train_aio_cli_dry_run(tiny_dataset, tmp_path):
