@@ -88,7 +88,14 @@ def _accum_vag(loss_fn, params, data, rng, rounds: int):
 
 
 class PhaseExecutor:
-    def __init__(self, trainer: MontageTrainer):
+    def __init__(self, trainer: MontageTrainer,
+                 merge_locals: str = 'per_layer'):
+        """``merge_locals``: 'per_layer' (one program per layer geometry ×
+        reg combo; moderate compiles, ~13 dispatches/step) or 'all' (every
+        layer's phases in ONE program; single big compile per reg combo,
+        ~5 dispatches/step — fastest on remote-tunnelled devices)."""
+        assert merge_locals in ('per_layer', 'all')
+        self.merge_locals = merge_locals
         self.trainer = trainer
         self.ens = trainer.ens
         self.hyper = trainer.hyper
@@ -106,8 +113,11 @@ class PhaseExecutor:
     # reg-combo)
     # ------------------------------------------------------------------
 
-    def _layer_fn(self, rep: int, do_greg: bool, do_dreg: bool):
-        """All local phases of one layer in ONE program.
+    def _layer_phases(self, rep: int, do_greg: bool, do_dreg: bool,
+                      m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
+                      sign_sum, sign_count, layer_idx, real, rng, aug_p):
+        """Traced body of one layer's local phases (Gmain, [Greg], Dmain,
+        [Dreg]) — shared by the per-layer and all-locals merged programs.
 
         Phase order and per-phase RNG streams replicate the unmerged
         scheduler exactly: phase k of layer i uses
@@ -115,44 +125,65 @@ class PhaseExecutor:
         and the loss rng is ``fold_in(key, 1)`` (the reference's fresh-z-
         per-phase rule, custom/training_loop_aio.py:606-607).
         """
-        key = ('layer', rep, do_greg, do_dreg)
-        if key in self._fns:
-            return self._fns[key]
         ens, hyper = self.ens, self.hyper
         tx_g, tx_d = self.trainer.tx_local_g, self.trainer.tx_local_d
         g_gain = float(hyper.g_reg_interval or 1)
         d_gain = float(hyper.d_reg_interval or 1)
         z_dim = ens.cfg.z_dim
+        stats: Dict[str, Any] = {}
+        aug_p_i = aug_p[layer_idx]
+        phase_base = 4 * layer_idx + 1
+        batch = real.shape[0]  # actual data batch (may be < batch_size)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-        def fn(m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean, sign_sum,
-               sign_count, layer_idx, real, rng, aug_p):
-            stats: Dict[str, Any] = {}
-            aug_p_i = aug_p[layer_idx]
-            phase_base = 4 * layer_idx + 1
-            batch = real.shape[0]  # actual data batch (may be < batch_size)
+        def phase_key(j):
+            return jax.random.fold_in(rng, phase_base + j)
 
-            def phase_key(j):
-                return jax.random.fold_in(rng, phase_base + j)
+        def z_of(k):
+            return jax.random.normal(jax.random.fold_in(k, 0),
+                                     (batch, z_dim))
 
-            def z_of(k):
-                return jax.random.normal(jax.random.fold_in(k, 0),
-                                         (batch, z_dim))
+        # ---- local Gmain
+        k = phase_key(0)
 
-            # ---- local Gmain
-            k = phase_key(0)
+        def gmain_loss(m_params, g_params, z_mb, rng_mb):
+            diff = {'mapping': {**m_vars, 'params': m_params},
+                    'g': {**g_vars, 'params': g_params}}
+            return losses.local_gmain_loss(
+                diff, ens, rep, d_vars, z_mb, rng_mb,
+                self.trainer._local_aug, aug_p_i,
+                hyper.style_mixing_prob, layer_idx=layer_idx)
 
-            def gmain_loss(m_params, g_params, z_mb, rng_mb):
+        (_, aux), grads = _accum_vag(
+            gmain_loss, (m_vars['params'], g_vars['params']),
+            (z_of(k),), jax.random.fold_in(k, 1), hyper.accum_rounds)
+        gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
+        params = {'mapping': m_vars['params'], 'g': g_vars['params']}
+        updates, opt_g = tx_g.update(gtree, opt_g, params)
+        new = optax.apply_updates(params, updates)
+        m_vars = {**m_vars, 'params': new['mapping'],
+                  'moving_stats': aux['moving_stats']}
+        g_vars = {**g_vars, 'params': new['g']}
+        stats.update(aux['stats'])
+
+        # ---- local Greg (path length), every g_reg_interval steps
+        if do_greg:
+            k = phase_key(1)
+            pl_mean_i = pl_mean[layer_idx]
+
+            def gpl_loss(m_params, g_params, z_mb, rng_mb):
                 diff = {'mapping': {**m_vars, 'params': m_params},
                         'g': {**g_vars, 'params': g_params}}
-                return losses.local_gmain_loss(
-                    diff, ens, rep, d_vars, z_mb, rng_mb,
-                    self.trainer._local_aug, aug_p_i,
-                    hyper.style_mixing_prob, layer_idx=layer_idx)
+                loss, aux = losses.local_gpl_loss(
+                    diff, ens, rep, z_mb, rng_mb, pl_mean_i,
+                    hyper.pl_batch_shrink, hyper.pl_decay,
+                    hyper.pl_weight, hyper.style_mixing_prob,
+                    layer_idx=layer_idx)
+                return loss * g_gain, aux
 
             (_, aux), grads = _accum_vag(
-                gmain_loss, (m_vars['params'], g_vars['params']),
-                (z_of(k),), jax.random.fold_in(k, 1), hyper.accum_rounds)
+                gpl_loss, (m_vars['params'], g_vars['params']),
+                (z_of(k),), jax.random.fold_in(k, 1),
+                hyper.accum_rounds)
             gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
             params = {'mapping': m_vars['params'], 'g': g_vars['params']}
             updates, opt_g = tx_g.update(gtree, opt_g, params)
@@ -160,87 +191,107 @@ class PhaseExecutor:
             m_vars = {**m_vars, 'params': new['mapping'],
                       'moving_stats': aux['moving_stats']}
             g_vars = {**g_vars, 'params': new['g']}
+            pl_mean = pl_mean.at[layer_idx].set(aux['pl_mean'])
             stats.update(aux['stats'])
 
-            # ---- local Greg (path length), every g_reg_interval steps
-            if do_greg:
-                k = phase_key(1)
-                pl_mean_i = pl_mean[layer_idx]
+        # ---- local Dmain (uses the just-updated G, like the
+        # reference's sequential phase list)
+        k = phase_key(2)
 
-                def gpl_loss(m_params, g_params, z_mb, rng_mb):
-                    diff = {'mapping': {**m_vars, 'params': m_params},
-                            'g': {**g_vars, 'params': g_params}}
-                    loss, aux = losses.local_gpl_loss(
-                        diff, ens, rep, z_mb, rng_mb, pl_mean_i,
-                        hyper.pl_batch_shrink, hyper.pl_decay,
-                        hyper.pl_weight, hyper.style_mixing_prob,
-                        layer_idx=layer_idx)
-                    return loss * g_gain, aux
+        def dmain_loss(d_params, z_mb, real_mb, rng_mb):
+            dv = {**d_vars, 'params': d_params}
+            frozen = {'mapping': m_vars, 'g': g_vars}
+            return losses.local_dmain_loss(
+                dv, ens, rep, frozen, z_mb, real_mb, rng_mb,
+                self.trainer._local_aug, aug_p_i,
+                hyper.style_mixing_prob, layer_idx=layer_idx)
 
-                (_, aux), grads = _accum_vag(
-                    gpl_loss, (m_vars['params'], g_vars['params']),
-                    (z_of(k),), jax.random.fold_in(k, 1),
-                    hyper.accum_rounds)
-                gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
-                params = {'mapping': m_vars['params'], 'g': g_vars['params']}
-                updates, opt_g = tx_g.update(gtree, opt_g, params)
-                new = optax.apply_updates(params, updates)
-                m_vars = {**m_vars, 'params': new['mapping'],
-                          'moving_stats': aux['moving_stats']}
-                g_vars = {**g_vars, 'params': new['g']}
-                pl_mean = pl_mean.at[layer_idx].set(aux['pl_mean'])
-                stats.update(aux['stats'])
+        (_, aux), grads = _accum_vag(
+            dmain_loss, (d_vars['params'],), (z_of(k), real),
+            jax.random.fold_in(k, 1), hyper.accum_rounds)
+        grads = _nan_to_num(grads[0])
+        updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
+        d_vars = {**d_vars,
+                  'params': optax.apply_updates(d_vars['params'],
+                                                updates)}
+        m_vars = {**m_vars, 'moving_stats': aux['moving_stats']}
+        sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
+        sign_count = sign_count.at[layer_idx].add(1.0)
+        stats.update(aux['stats'])
 
-            # ---- local Dmain (uses the just-updated G, like the
-            # reference's sequential phase list)
-            k = phase_key(2)
+        # ---- local Dreg (R1), every d_reg_interval steps
+        if do_dreg:
+            k = phase_key(3)
 
-            def dmain_loss(d_params, z_mb, real_mb, rng_mb):
+            def dr1_loss(d_params, real_mb, rng_mb):
                 dv = {**d_vars, 'params': d_params}
-                frozen = {'mapping': m_vars, 'g': g_vars}
-                return losses.local_dmain_loss(
-                    dv, ens, rep, frozen, z_mb, real_mb, rng_mb,
-                    self.trainer._local_aug, aug_p_i,
-                    hyper.style_mixing_prob, layer_idx=layer_idx)
+                loss, aux = losses.local_dr1_loss(
+                    dv, ens, rep, real_mb, rng_mb,
+                    self.trainer._local_aug, aug_p_i, hyper.r1_gamma)
+                return loss * d_gain, aux
 
             (_, aux), grads = _accum_vag(
-                dmain_loss, (d_vars['params'],), (z_of(k), real),
+                dr1_loss, (d_vars['params'],), (real,),
                 jax.random.fold_in(k, 1), hyper.accum_rounds)
             grads = _nan_to_num(grads[0])
             updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
             d_vars = {**d_vars,
                       'params': optax.apply_updates(d_vars['params'],
                                                     updates)}
-            m_vars = {**m_vars, 'moving_stats': aux['moving_stats']}
             sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
             sign_count = sign_count.at[layer_idx].add(1.0)
             stats.update(aux['stats'])
 
-            # ---- local Dreg (R1), every d_reg_interval steps
-            if do_dreg:
-                k = phase_key(3)
+        return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
+                sign_sum, sign_count, stats)
 
-                def dr1_loss(d_params, real_mb, rng_mb):
-                    dv = {**d_vars, 'params': d_params}
-                    loss, aux = losses.local_dr1_loss(
-                        dv, ens, rep, real_mb, rng_mb,
-                        self.trainer._local_aug, aug_p_i, hyper.r1_gamma)
-                    return loss * d_gain, aux
+    def _layer_fn(self, rep: int, do_greg: bool, do_dreg: bool):
+        """One layer's local phases as ONE jitted program (cached per
+        geometry representative and reg combo)."""
+        key = ('layer', rep, do_greg, do_dreg)
+        if key in self._fns:
+            return self._fns[key]
 
-                (_, aux), grads = _accum_vag(
-                    dr1_loss, (d_vars['params'],), (real,),
-                    jax.random.fold_in(k, 1), hyper.accum_rounds)
-                grads = _nan_to_num(grads[0])
-                updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
-                d_vars = {**d_vars,
-                          'params': optax.apply_updates(d_vars['params'],
-                                                        updates)}
-                sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
-                sign_count = sign_count.at[layer_idx].add(1.0)
-                stats.update(aux['stats'])
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+        def fn(m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean, sign_sum,
+               sign_count, layer_idx, real, rng, aug_p):
+            return self._layer_phases(rep, do_greg, do_dreg, m_vars, g_vars,
+                                      opt_g, d_vars, opt_d, pl_mean,
+                                      sign_sum, sign_count, layer_idx, real,
+                                      rng, aug_p)
 
-            return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
-                    sign_sum, sign_count, stats)
+        self._fns[key] = fn
+        return fn
+
+    def _locals_fn(self, do_greg: bool, do_dreg: bool):
+        """ALL layers' local phases as ONE jitted program (single dispatch;
+        XLA plans the sequential per-layer memory exactly, so the peak is
+        one phase's working set — not a sum).  Cached per reg combo."""
+        key = ('locals', do_greg, do_dreg)
+        if key in self._fns:
+            return self._fns[key]
+        num_layers = self.ens.cfg.num_layers
+        layer_names = self.ens.cfg.layer_names
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+        def fn(m_vars, g_list, opt_g_list, d_list, opt_d_list, pl_mean,
+               sign_sum, sign_count, crops, rng, aug_p):
+            g_list = list(g_list)
+            opt_g_list = list(opt_g_list)
+            d_list = list(d_list)
+            opt_d_list = list(opt_d_list)
+            stats: Dict[str, Any] = {}
+            for i in range(num_layers):
+                rep = self._geom_of_layer[i]
+                (m_vars, g_list[i], opt_g_list[i], d_list[i], opt_d_list[i],
+                 pl_mean, sign_sum, sign_count, st) = self._layer_phases(
+                    rep, do_greg, do_dreg, m_vars, g_list[i], opt_g_list[i],
+                    d_list[i], opt_d_list[i], pl_mean, sign_sum, sign_count,
+                    i, crops[i], rng, aug_p)
+                stats.update({f'{layer_names[i]}/{k2}': v
+                              for k2, v in st.items()})
+            return (m_vars, tuple(g_list), tuple(opt_g_list), tuple(d_list),
+                    tuple(opt_d_list), pl_mean, sign_sum, sign_count, stats)
 
         self._fns[key] = fn
         return fn
@@ -330,16 +381,29 @@ class PhaseExecutor:
             do_dreg = (hyper.d_reg_interval is not None
                        and hyper.r1_gamma != 0
                        and step_idx % hyper.d_reg_interval == 0)
-            for i in range(ens.cfg.num_layers):
-                rep = self._geom_of_layer[i]
-                name = ens.cfg.layer_names[i]
-                (mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
-                 pl_mean, sign_sum, sign_count, st) = timed(
-                    f'local_{name}', self._layer_fn(rep, do_greg, do_dreg),
-                    mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
-                    pl_mean, sign_sum, sign_count,
-                    jnp.asarray(i, jnp.int32), crops[i], rng, state.aug_p)
-                stats.update({f'{name}/{s}': v for s, v in st.items()})
+            if self.merge_locals == 'all':
+                (mapping, g_t, og_t, d_t, od_t, pl_mean, sign_sum,
+                 sign_count, st) = timed(
+                    'locals', self._locals_fn(do_greg, do_dreg),
+                    mapping, tuple(local_g), tuple(opt_g), tuple(local_d),
+                    tuple(opt_d), pl_mean, sign_sum, sign_count,
+                    tuple(crops), rng, state.aug_p)
+                local_g, opt_g = list(g_t), list(og_t)
+                local_d, opt_d = list(d_t), list(od_t)
+                stats.update(st)
+            else:
+                for i in range(ens.cfg.num_layers):
+                    rep = self._geom_of_layer[i]
+                    name = ens.cfg.layer_names[i]
+                    (mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
+                     pl_mean, sign_sum, sign_count, st) = timed(
+                        f'local_{name}',
+                        self._layer_fn(rep, do_greg, do_dreg),
+                        mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
+                        pl_mean, sign_sum, sign_count,
+                        jnp.asarray(i, jnp.int32), crops[i], rng,
+                        state.aug_p)
+                    stats.update({f'{name}/{s}': v for s, v in st.items()})
 
         # reassemble state for the global/renderer/EMA/ADA tail
         variables['mapping'] = mapping

@@ -143,3 +143,37 @@ def test_phase_executor_with_accumulation():
     for leaf in jax.tree_util.tree_leaves(state.variables):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.isfinite(np.asarray(stats['a/Loss/G/loss']))
+
+
+def test_merge_all_matches_per_layer():
+    """'all' mode (single locals program) computes the same math as
+    'per_layer' (identical phase order and RNG streams)."""
+    ens, trainer, executor = setup_exec()
+    executor_all = PhaseExecutor(trainer, merge_locals='all')
+    state0 = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+    cfg = ens.cfg
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    stack = jax.random.uniform(k1, (BATCH, cfg.num_layers, 32, 32, 4),
+                               minval=-1.0, maxval=1.0)
+    crops = tuple(
+        jax.random.uniform(jax.random.fold_in(k2, i),
+                           (BATCH,) + cfg.layer_targets[i] + (4,),
+                           minval=-1.0, maxval=1.0)
+        for i in range(cfg.num_layers))
+
+    # independent device copies (device_put of an on-device tree aliases
+    # buffers, and the executors donate theirs)
+    host0 = jax.device_get(state0)
+    s_a = jax.device_put(host0)
+    s_b = jax.device_put(host0)
+    for t in range(2):
+        s_a, st_a = executor.step(s_a, stack, crops, jax.random.PRNGKey(5 + t))
+        s_b, st_b = executor_all.step(s_b, stack, crops,
+                                      jax.random.PRNGKey(5 + t))
+    assert set(st_a) == set(st_b)
+    la = jax.tree_util.tree_leaves(jax.device_get(s_a.variables))
+    lb = jax.tree_util.tree_leaves(jax.device_get(s_b.variables))
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_a.pl_mean),
+                               np.asarray(s_b.pl_mean), rtol=1e-4, atol=1e-6)
