@@ -111,6 +111,11 @@ def next_run_dir(outdir: str, desc: str) -> str:
 @click.option('--global-batch-gpu', type=int, default=None,
               help='Microbatch for the global/renderer phases (HBM '
                    'high-water mark); defaults to --batch-gpu')
+@click.option('--merge-locals', type=click.Choice(['per_layer', 'all']),
+              default='per_layer',
+              help='Local-phase program granularity: one program per layer '
+                   'geometry (fast compiles) or ALL layers in one program '
+                   '(fewest dispatches; long first compile)')
 @click.option('--trace', 'trace_dir', default=None, metavar='DIR',
               help='Write a profiler trace of a few post-warmup steps')
 @click.option('--save-all-layers', is_flag=True, default=False)
@@ -202,6 +207,7 @@ def main(**kwargs):
             network_snapshot_ticks=opts.net_snap,
             random_seed=opts.seed, resume_path=resume_path,
             num_devices=opts.num_devices,
+            merge_locals=opts.merge_locals,
             metrics=metrics, run_once=opts.run_once,
             save_all_layers=opts.save_all_layers,
             run_latent_interpolation=opts.run_latent_interpolation,

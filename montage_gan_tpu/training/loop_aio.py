@@ -134,6 +134,7 @@ def training_loop(
         progress_fn: Optional[Callable[[int, int], None]] = None,
         run_once: bool = False,
         use_phase_executor: bool = True,
+        merge_locals: str = 'per_layer',
         save_all_layers: bool = False,
         run_latent_interpolation: bool = False,
         trace_dir: Optional[str] = None,
@@ -172,7 +173,7 @@ def training_loop(
         # per-phase compiled programs with geometry sharing (fast compile,
         # host-side interval scheduling) — see training/phase_exec.py
         from .phase_exec import PhaseExecutor
-        executor = PhaseExecutor(trainer)
+        executor = PhaseExecutor(trainer, merge_locals=merge_locals)
         host_step = [None]  # resolved from state.step once, then host-counted
 
         def step_fn(s, a, b, r, time_phases=False):
