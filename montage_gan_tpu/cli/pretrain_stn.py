@@ -48,7 +48,7 @@ def main(data, outdir, renderer_ckpt, renderer_type, batch, steps, lr,
     from ..models.renderer import build_renderer
     from ..models.simple_d import (SimpleGlobalDiscriminator,
                                    SimpleGlobalDiscriminatorV2)
-    from ..models.stn import STN
+    from ..models.stn import STN, auto_stn_stages
     from ..ops.composite import alpha_composite
     from ..training.losses import theta_constrain_loss
     from ..utils import checkpoint as ckpt
@@ -73,7 +73,8 @@ def main(data, outdir, renderer_ckpt, renderer_type, batch, steps, lr,
                                      'opt_state': None})
         renderer_vars = saved['renderer']
 
-    stn = STN(img_resolution=res, img_channels=nch, img_layers=nl)
+    stn = STN(img_resolution=res, img_channels=nch, img_layers=nl,
+              num_stages=auto_stn_stages(res))
     if discriminator == 'sg2':
         d_net = Discriminator(img_resolution=res, img_channels=nch)
     elif discriminator == 'simple':
