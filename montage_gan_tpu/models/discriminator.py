@@ -39,6 +39,15 @@ class DiscriminatorBlock(nn.Module):
     use_fp16: bool = False
     freeze_layers: int = 0
 
+    @staticmethod
+    def num_layers(in_channels: int, architecture: str) -> int:
+        """Freeze-D layer count for one block — the single source the parent
+        uses to advance ``first_layer_idx`` (reference: the block's
+        ``num_layers`` attribute, networks_aio.py:706-713).  Must mirror the
+        ``next_trainable()`` call sequence in ``__call__``."""
+        return ((1 if (in_channels == 0 or architecture == 'skip') else 0)
+                + 2 + (1 if architecture == 'resnet' else 0))
+
     @nn.compact
     def __call__(self, x: Optional[jax.Array], img: Optional[jax.Array],
                  force_fp32: bool = False):
@@ -175,9 +184,8 @@ class Discriminator(nn.Module):
                 use_fp16=(res >= fp16_resolution),
                 freeze_layers=self.freeze_layers, name=f'b{res}')
             x, img = block(x, img, force_fp32=force_fp32)
-            # layers per block: fromrgb? + conv0 + conv1 (+ skip)
-            cur_layer_idx += (1 if (in_ch == 0 or self.architecture == 'skip') else 0) \
-                + 2 + (1 if self.architecture == 'resnet' else 0)
+            cur_layer_idx += DiscriminatorBlock.num_layers(
+                in_ch, self.architecture)
 
         cmap = None
         if self.c_dim > 0:

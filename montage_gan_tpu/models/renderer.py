@@ -17,11 +17,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _stack_layers(x: jax.Array) -> jax.Array:
-    """[B, L, H, W, C] → [B, H, W, L*C] (channel index = l*C + c, matching the
-    reference's NCHW view(b, l*c, h, w))."""
-    b, l, h, w, c = x.shape
-    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, l * c)
+# single source of the layout-critical [B,L,H,W,C] → [B,H,W,L*C] mapping
+# (channel index = l*C + c, matching the reference's NCHW view(b, l*c, h, w))
+from ..utils.image_utils import stack_layer_to_channel as _stack_layers  # noqa: E402
 
 
 class _SimpleRenderer(nn.Module):

@@ -53,8 +53,10 @@ class STN(nn.Module):
         b, l, h, w, c = x.shape
         assert l == self.img_layers and c == self.img_channels
 
-        # Stack layers into channels: [B, H, W, L*C]
-        y = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, l * c)
+        # Stack layers into channels: [B, H, W, L*C] (shared helper — the
+        # torch-checkpoint importer depends on this exact channel order)
+        from ..utils.image_utils import stack_layer_to_channel
+        y = stack_layer_to_channel(x)
 
         # Localization net: (conv k, maxpool 2, relu) × 5, VALID padding
         # (reference: fukuwarai/networks.py:169-189).

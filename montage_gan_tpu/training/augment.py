@@ -305,11 +305,17 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
 
     if have_geom:
         hz_pad = _HZ_GEOM.shape[0] // 4
-        m = cfg.geom_margin
-        if m is None:
-            m = min(width // 4 + hz_pad * 2, width - 1)
+        # per-axis margins: non-square inputs (the local-D layer crops) need
+        # the height margin sized by height — a width-derived margin would
+        # under-reflect vertically and read pad zeros where the reference's
+        # data-dependent margin reflects real content (augment.py:311-326)
+        mx, my = cfg.geom_margin, cfg.geom_margin
+        if mx is None:
+            mx = min(width // 4 + hz_pad * 2, width - 1)
+            my = min(height // 4 + hz_pad * 2, height - 1)
         # reflect-pad (symmetric static margin ⇒ no origin shift) and ×2 upsample
-        x = jnp.pad(images, [(0, 0), (m, m), (m, m), (0, 0)], mode='reflect')
+        x = jnp.pad(images, [(0, 0), (my, my), (mx, mx), (0, 0)],
+                    mode='reflect')
         x = upsample2d(x, _HZ_GEOM, up=2)
         G = scale2d(2.0, 2.0)[None] @ G_inv @ scale2d_inv(2.0, 2.0)[None]
         G = translate2d(-0.5, -0.5)[None] @ G @ translate2d_inv(-0.5, -0.5)[None]

@@ -70,6 +70,7 @@ class BatchPrefetcher:
                 pass
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = False
+        self._error: Optional[BaseException] = None
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
@@ -82,14 +83,23 @@ class BatchPrefetcher:
         return np.stack([self.dataset[i] for i in idxs])  # [B,L,H,W,4]
 
     def _worker(self):
-        while not self._stop:
-            stack01 = self._fetch_stack01()
-            crops = make_batch_for_local_d_np(stack01, self.layer_targets,
-                                              to_minus11=True)
-            self.q.put((stack01 * 2.0 - 1.0, tuple(crops)))
+        try:
+            while not self._stop:
+                stack01 = self._fetch_stack01()
+                crops = make_batch_for_local_d_np(stack01,
+                                                  self.layer_targets,
+                                                  to_minus11=True)
+                self.q.put((stack01 * 2.0 - 1.0, tuple(crops)))
+        except BaseException as e:  # surface in next(), don't hang the loop
+            self._error = e
+            self.q.put(None)
 
     def next(self):
-        return self.q.get()
+        item = self.q.get()
+        if item is None and self._error is not None:
+            raise RuntimeError('BatchPrefetcher worker failed') \
+                from self._error
+        return item
 
     def stop(self):
         self._stop = True
@@ -212,6 +222,7 @@ def training_loop(
 
     cur_nimg = int(resume_kimg * 1000)
     cur_tick = 0
+    _metric_cache: dict = {}  # per-invocation jit/extractor cache
     tick_start_nimg = cur_nimg
     start_time = time.time()
     tick_start_time = start_time
@@ -357,14 +368,22 @@ def training_loop(
             host_state = jax.device_get(state)
             ema_vars = dict(host_state.ema)
 
-            @jax.jit
-            def metric_sample_fn(z):
-                placed, _ = ens.run_global_g(ema_vars, z, noise_mode='const')
-                return alpha_composite(
-                    normalize_zero1(jnp.clip(placed, -1, 1)))
+            # jit ONCE across ticks; EMA weights enter as arguments, not as
+            # baked-in program constants (avoids a full recompile per tick)
+            if _metric_cache.get('synth') is None:
+                @jax.jit
+                def _metric_synth(vars_, z):
+                    placed, _ = ens.run_global_g(vars_, z, noise_mode='const')
+                    return alpha_composite(
+                        normalize_zero1(jnp.clip(placed, -1, 1)))
+                _metric_cache['synth'] = _metric_synth
+                _metric_cache['extractor'] = build_extractor('auto')
 
-            extractor = build_extractor('auto')
-            for metric in (metric_fn and [] or metrics):
+            def metric_sample_fn(z):
+                return _metric_cache['synth'](ema_vars, z)
+
+            extractor = _metric_cache['extractor']
+            for metric in ([] if metric_fn else metrics):
                 result = metric_main.calc_metric(
                     metric, dataset=dataset, sample_fn=metric_sample_fn,
                     z_dim=cfg.z_dim, extractor=extractor,

@@ -39,52 +39,31 @@ from . import losses
 from .train_step import MontageTrainer, MontageTrainState, _nan_to_num
 
 
+def _merge_stats(stats, new):
+    """Merge a phase's stat dict; colliding keys (e.g. Loss/scores/fake
+    reported by both Gmain and Dmain) average equal-weight, matching the
+    reference's training_stats accumulation of both phases' reports under
+    one name (custom/loss_aio.py Gmain :138 + Dmain :111)."""
+    for k, v in new.items():
+        stats[k] = (stats[k] + v) * 0.5 if k in stats else v
+
+
 def _accum_vag(loss_fn, params, data, rng, rounds: int):
-    """value_and_grad with gradient accumulation over microbatch rounds.
+    """value_and_grad with gradient accumulation over microbatch rounds —
+    positional-args adapter over train_step.accum_value_and_grad (the single
+    source of the SUM-grads / mean-stats / keep-last-moving-stats contract,
+    reference custom/loss_aio.py:52-63 + training_loop_aio.py:620-627).
 
-    ``loss_fn(*params, *data, rng) → (loss, aux)``; data leaves have leading
-    batch dim.  Gradients are SUMMED over rounds (the reference's
-    un-normalized accumulation, custom/loss_aio.py:52-63 +
-    training_loop_aio.py:620-627); aux['stats']/aux['sign_real'] are averaged
-    over rounds; other aux entries (moving_stats, pl_mean) keep the last
-    round's value.
+    ``loss_fn(*params, *data, rng) → (loss, aux)``; returns
+    ``((loss, aux), grads_tuple)`` with one gradient per params entry.
     """
-    argnums = tuple(range(len(params)))
-    vag = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
-    if rounds == 1:
-        (loss, aux), grads = vag(*params, *data, rng)
-        return (loss, aux), grads
+    from .train_step import accum_value_and_grad
 
-    data_r = jax.tree_util.tree_map(
-        lambda x: x.reshape((rounds, x.shape[0] // rounds) + x.shape[1:]),
-        data)
-    rngs = jax.random.split(rng, rounds)
-    gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    def wrapped(params_t, data_t, rng_mb):
+        return loss_fn(*params_t, *data_t, rng_mb)
 
-    def body(gsum, xs):
-        d, r = xs
-        (loss, aux), g = vag(*params, *d, r)
-        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-        return gsum, (loss, aux)
-
-    gsum, (loss_seq, aux_seq) = jax.lax.scan(body, gzero, (data_r, rngs))
-
-    def reduce_aux(a):
-        out = dict(a)
-        for k in ('stats',):
-            if k in out:
-                out[k] = jax.tree_util.tree_map(lambda x: jnp.mean(x),
-                                                out[k])
-        for k in ('sign_real',):
-            if k in out:
-                out[k] = jnp.mean(out[k])
-        for k in ('moving_stats', 'pl_mean'):
-            if k in out:
-                out[k] = jax.tree_util.tree_map(lambda x: x[-1], out[k])
-        return out
-
-    aux = reduce_aux(aux_seq)
-    return (jnp.mean(loss_seq), aux), gsum
+    return accum_value_and_grad(wrapped, tuple(params), tuple(data), rng,
+                                rounds)
 
 
 class PhaseExecutor:
@@ -163,7 +142,7 @@ class PhaseExecutor:
         m_vars = {**m_vars, 'params': new['mapping'],
                   'moving_stats': aux['moving_stats']}
         g_vars = {**g_vars, 'params': new['g']}
-        stats.update(aux['stats'])
+        _merge_stats(stats, aux['stats'])
 
         # ---- local Greg (path length), every g_reg_interval steps
         if do_greg:
@@ -192,7 +171,7 @@ class PhaseExecutor:
                       'moving_stats': aux['moving_stats']}
             g_vars = {**g_vars, 'params': new['g']}
             pl_mean = pl_mean.at[layer_idx].set(aux['pl_mean'])
-            stats.update(aux['stats'])
+            _merge_stats(stats, aux['stats'])
 
         # ---- local Dmain (uses the just-updated G, like the
         # reference's sequential phase list)
@@ -217,7 +196,7 @@ class PhaseExecutor:
         m_vars = {**m_vars, 'moving_stats': aux['moving_stats']}
         sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
         sign_count = sign_count.at[layer_idx].add(1.0)
-        stats.update(aux['stats'])
+        _merge_stats(stats, aux['stats'])
 
         # ---- local Dreg (R1), every d_reg_interval steps
         if do_dreg:
@@ -240,7 +219,7 @@ class PhaseExecutor:
                                                     updates)}
             sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
             sign_count = sign_count.at[layer_idx].add(1.0)
-            stats.update(aux['stats'])
+            _merge_stats(stats, aux['stats'])
 
         return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
                 sign_sum, sign_count, stats)

@@ -128,6 +128,14 @@ def _nan_to_num(tree):
         lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), tree)
 
 
+def _merge_stats(stats, new):
+    """Merge a phase's stat dict; colliding keys (e.g. Loss/scores/fake from
+    both Gmain and Dmain) average equal-weight (reference training_stats
+    accumulates both phases' reports under one name)."""
+    for k, v in new.items():
+        stats[k] = (stats[k] + v) * 0.5 if k in stats else v
+
+
 def accum_value_and_grad(loss_fn, params, data, rng, rounds: int):
     """``loss_fn(params, data_mb, rng_mb) → (loss, aux)`` with gradient
     accumulation over microbatch rounds (reference batch_gpu rounds,
@@ -145,6 +153,12 @@ def accum_value_and_grad(loss_fn, params, data, rng, rounds: int):
     if rounds == 1:
         return vag(params, data, rng)
 
+    for leaf in jax.tree_util.tree_leaves(data):
+        if leaf.shape[0] % rounds != 0:
+            raise ValueError(
+                f'data batch {leaf.shape[0]} is not divisible by '
+                f'{rounds} accumulation rounds (batch_size/microbatch); '
+                f'feed full batches or adjust microbatch')
     data_r = jax.tree_util.tree_map(
         lambda x: x.reshape((rounds, x.shape[0] // rounds) + x.shape[1:]),
         data)
@@ -411,8 +425,8 @@ class MontageTrainer:
                                         'params': new_params['mapping']}
                 variables['local_g'][i] = {**variables['local_g'][i],
                                            'params': new_params['g']}
-                stats.update({f'{name}/{k2}': v for k2, v in
-                              aux['stats'].items()})
+                _merge_stats(stats, {f'{name}/{k2}': v for k2, v in
+                                     aux['stats'].items()})
 
                 # ---- local_Greg (path length, every g_reg_interval)
                 if hyper.g_reg_interval is not None and hyper.pl_weight != 0:
@@ -483,8 +497,8 @@ class MontageTrainer:
                     **variables['local_d'][i],
                     'params': optax.apply_updates(
                         variables['local_d'][i]['params'], updates)}
-                stats.update({f'{name}/{k2}': v for k2, v in
-                              aux['stats'].items()})
+                _merge_stats(stats, {f'{name}/{k2}': v for k2, v in
+                                     aux['stats'].items()})
                 sign_sum = sign_sum.at[i].add(aux['sign_real'])
                 sign_count = sign_count.at[i].add(1.0)
 
@@ -732,6 +746,10 @@ class MontageTrainer:
             adjust = (jnp.sign(mean_sign - hyper.ada_target)
                       * (hyper.batch_size * hyper.ada_interval)
                       / (hyper.ada_kimg * 1000.0))
+            # lanes with no D executions in this window (e.g. the global
+            # pipe when global_optimize_interval > ada_interval) hold their
+            # p instead of drifting toward sign(0 - target)
+            adjust = jnp.where(sign_count > 0, adjust, 0.0)
             new_p = jnp.clip(aug_p + adjust, 0.0, hyper.aug_p_max)
             aug_p = jnp.where(do_ada, new_p, aug_p)
             sign_sum = jnp.where(do_ada, jnp.zeros_like(sign_sum), sign_sum)
