@@ -111,13 +111,22 @@ def main():
 
     state = jax.device_put(state)
 
+    # NOTE on synchronization: jax.block_until_ready can return EARLY over
+    # the tunneled PJRT transport (observed in round 1 — it made the bench
+    # report dispatch throughput, a physically impossible 161 ms/step vs the
+    # 812 ms/step analytic speed-of-light at 100% MFU).  A device→host
+    # SCALAR READBACK of a value data-dependent on the final state cannot
+    # return early: the bytes must exist.  Every barrier below is a readback.
+    def sync(st):
+        return float(jax.device_get(jnp.sum(st.pl_mean) + st.step))
+
     _log("compiling + running first step (this warms all phase programs)...")
     step_idx = 0
     t_compile = time.time()
     state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(1),
                                  step_idx=step_idx)
     step_idx += 1
-    jax.block_until_ready(stats)
+    sync(state)
     compile_s = time.time() - t_compile
     _log(f"first step (compile+run): {compile_s:.0f}s")
 
@@ -130,11 +139,13 @@ def main():
                                      step_idx=widx,
                                      time_phases=(i == len(WARMUP_STEP_IDXS)
                                                   - 1))
-        jax.block_until_ready(stats)
+        sync(state)
         _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
     for k, v in sorted(stats.items()):
         if k.startswith('Timing/'):
             _log(f"{k}: {float(v):.2f}s")
+
+    sync(state)  # drain warmup before opening the timed window
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):
@@ -142,17 +153,41 @@ def main():
                                      jax.random.PRNGKey(100 + i),
                                      step_idx=step_idx)
         step_idx += 1
-    jax.block_until_ready(stats)
+        # Per-step readback barrier: bounds in-flight programs to ONE step's
+        # worth.  Letting all MEASURE_STEPS dispatch asynchronously OOMs the
+        # 16G chip (their temps stack), and the readback is the only sync
+        # primitive the tunnel honors.  Costs one tunnel RTT per step —
+        # negligible against a real (not dispatch-time) step.
+        sync(state)
     dt = time.time() - t0
     _log(f"measure: {MEASURE_STEPS} steps in {dt:.2f}s "
          f"({dt / MEASURE_STEPS * 1000:.0f} ms/step)")
 
     imgs_per_sec = BATCH * MEASURE_STEPS / dt
+    sec_per_step = dt / MEASURE_STEPS
+
+    # analytic MXU FLOPs of the amortized step → MFU vs the v5e bf16 peak
+    # (conv/matmul MACs only with AD multipliers; utils/flops.py documents
+    # the model — elementwise/VPU work deliberately excluded)
+    from montage_gan_tpu.utils.flops import (PEAK_BF16_FLOPS, mfu,
+                                             train_step_flops)
+    flops_step = train_step_flops(cfg, hyper)
+    chip = 'v5e' if jax.devices()[0].platform != 'cpu' else 'cpu'
+    mfu_val = mfu(flops_step, sec_per_step, chip)
+    _log(f"analytic {flops_step / 1e12:.2f} TFLOP/step, "
+         f"{flops_step / sec_per_step / 1e12:.1f} TFLOP/s achieved, "
+         f"MFU {mfu_val * 100:.1f}% of {chip} bf16 peak "
+         f"({PEAK_BF16_FLOPS[chip] / 1e12:.0f} TF/s)")
+
     result = {
         "metric": "train_aio imgs/sec/chip @256px (9-layer AIO step)",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "ms_per_step": round(sec_per_step * 1000, 1),
+        "analytic_tflop_per_step": round(flops_step / 1e12, 3),
+        "mfu": round(mfu_val, 4),
+        "mfu_peak_ref": f"{chip} bf16 {PEAK_BF16_FLOPS[chip] / 1e12:.0f}e12",
     }
     print(json.dumps(result))
     # extra context on stderr-like secondary line is avoided: single line only

@@ -23,11 +23,13 @@ def _register():
     from .cli.pretrain_renderer import main as pretrain_renderer
     from .cli.pretrain_stn import main as pretrain_stn
     from .cli.projector import main as projector
+    from .cli.run_recipe import main as run_recipe
     from .cli.style_mixing import main as style_mixing
     from .cli.train import main as train
     from .cli.train_aio import main as train_aio
 
     for name, cmd in [('train-aio', train_aio), ('train', train),
+                      ('run-recipe', run_recipe),
                       ('generate', generate), ('projector', projector),
                       ('style-mixing', style_mixing),
                       ('calc-metrics', calc_metrics),

@@ -22,8 +22,10 @@ import click
 @click.option('--cache-dir', default='/tmp/mgt-metric-cache')
 @click.option('--batch', type=int, default=16)
 @click.option('--seed', type=int, default=0)
+@click.option('--ppl-samples', type=int, default=None,
+              help='PPL sample budget (default: the reference 50k)')
 def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
-         seed):
+         seed, ppl_samples):
     """Calculate quality metrics for a trained snapshot."""
     from ..utils.platform import select_platform
     select_platform()
@@ -58,6 +60,13 @@ def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
             ws = mapping.apply(map_vars, z)
             img = synthesis.apply(syn_vars, ws, noise_mode='const')
             return jnp.clip(img * 0.5 + 0.5, 0, 1)
+
+        map_fn = jax.jit(lambda z: mapping.apply(map_vars, z))
+
+        @jax.jit
+        def synth_ws_fn(ws):
+            img = synthesis.apply(syn_vars, ws, noise_mode='const')
+            return jnp.clip(img * 0.5 + 0.5, 0, 1)
     else:
         cfg, ens, tree = load_ema_snapshot(network_path)
         z_dim = cfg.z_dim
@@ -71,11 +80,19 @@ def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
             placed, _ = ens.run_global_g(tree, z, noise_mode='const')
             return alpha_composite(normalize_zero1(jnp.clip(placed, -1, 1)))
 
+        map_fn = jax.jit(lambda z: ens.mapping.apply(tree['mapping'], z))
+
+        @jax.jit
+        def synth_ws_fn(ws):
+            placed, _ = ens.run_global_g_from_ws(tree, ws, noise_mode='const')
+            return alpha_composite(normalize_zero1(jnp.clip(placed, -1, 1)))
+
     ext = build_extractor(extractor)
     run_dir = os.path.dirname(network_path) or '.'
     for m in metric_list:
         result = metric_main.calc_metric(
             m, dataset=dataset, sample_fn=sample_fn, z_dim=z_dim,
+            map_fn=map_fn, synth_fn=synth_ws_fn, ppl_samples=ppl_samples,
             extractor=ext, cache_dir=cache_dir, batch_size=batch, seed=seed)
         metric_main.report_metric(result, run_dir=run_dir,
                                   snapshot_pkl=network_path)

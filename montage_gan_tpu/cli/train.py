@@ -49,6 +49,10 @@ from ..utils.logging_utils import Logger
 @click.option('--channel-base', type=int, default=None,
               help='Override channel_base (testing/small runs)')
 @click.option('--channel-max', type=int, default=None)
+@click.option('--metrics', default='none',
+              help='Comma-separated metric names evaluated at snapshots '
+                   '(reference: train.py --metrics, default fid50k_full), '
+                   'or "none"')
 @click.option('--dry-run', is_flag=True, default=False)
 def main(**kwargs):
     """Train a single StyleGAN2-ADA GAN on TPU."""
@@ -122,11 +126,75 @@ def main(**kwargs):
     trainer = MontageTrainer(ens, hyper)
     mesh = make_mesh(opts.num_devices)
     state = trainer.init_state(jax.random.PRNGKey(opts.seed), batch=batch)
-    if opts.resume:
-        state = ckpt.restore_train_state(opts.resume, state)
+    if opts.resume and opts.resume != 'noresume':
+        # alias | path | URL → local file (reference train.py resume_specs
+        # + dnnlib.util.open_url retry/cache, train_aio.py:333-339)
+        from ..utils.url_util import resolve_resume
+        resume_path, _ = resolve_resume(opts.resume)
+        if resume_path.endswith('.pkl'):
+            # transfer learning from an SG2-ADA snapshot pickle
+            # (reference: training/training_loop.py:166-172)
+            from ..utils.pkl_import import transfer_into_train_state
+            state = transfer_into_train_state(state, resume_path)
+        else:
+            state = ckpt.restore_train_state(resume_path, state)
     state = replicate(mesh, state)
     step_fn = make_parallel_train_step(trainer, mesh,
                                        with_labels=opts.cond)
+
+    metric_list = ([] if opts.metrics in ('none', '', None)
+                   else opts.metrics.split(','))
+    if metric_list:
+        from ..metrics import metric_main
+        for m in metric_list:
+            if not metric_main.is_valid_metric(m):
+                raise click.UsageError(
+                    f'unknown metric {m}; valid: '
+                    f'{metric_main.list_valid_metrics()}')
+    _metric_cache: dict = {}
+
+    def eval_metrics(host_state, snapshot_path):
+        """Metric eval at snapshots (reference: training/training_loop.py:
+        428-443 — same metric_main path the AIO loop uses)."""
+        from ..metrics import metric_main
+        from ..metrics.features import build_extractor
+        ema_vars = dict(host_state.ema)
+        if _metric_cache.get('synth') is None:
+            @jax.jit
+            def _synth(vars_, z):
+                ws = ens.mapping.apply(vars_['mapping'], z)
+                img = ens.local_gs[0].apply(vars_['local_g'][0],
+                                            ens.ws_for_layer(ws, 0),
+                                            noise_mode='const')
+                return jnp.clip(img * 0.5 + 0.5, 0, 1)
+
+            @jax.jit
+            def _map(vars_, z):
+                return ens.mapping.apply(vars_['mapping'], z)
+
+            @jax.jit
+            def _synth_ws(vars_, ws):
+                img = ens.local_gs[0].apply(vars_['local_g'][0],
+                                            ens.ws_for_layer(ws, 0),
+                                            noise_mode='const')
+                return jnp.clip(img * 0.5 + 0.5, 0, 1)
+            _metric_cache['synth'] = _synth
+            _metric_cache['map'] = _map
+            _metric_cache['synth_ws'] = _synth_ws
+            _metric_cache['extractor'] = build_extractor('auto')
+        for m in metric_list:
+            result = metric_main.calc_metric(
+                m, dataset=dataset,
+                sample_fn=lambda z: _metric_cache['synth'](ema_vars, z),
+                map_fn=lambda z: _metric_cache['map'](ema_vars, z),
+                synth_fn=lambda ws: _metric_cache['synth_ws'](ema_vars, ws),
+                ppl_samples=2000, z_dim=cfg.z_dim,
+                extractor=_metric_cache['extractor'],
+                cache_dir=os.path.join(run_dir, 'metric-cache'))
+            metric_main.report_metric(result, run_dir=run_dir,
+                                      snapshot_pkl=snapshot_path)
+            for k, v in result.results.items():
+                acc.report(f'Metrics/{k}', v)
 
     sampler = iter(InfiniteSampler(len(dataset), seed=opts.seed))
     label_rng = np.random.RandomState(opts.seed + 2)
@@ -176,10 +244,13 @@ def main(**kwargs):
             jsonl.write(collector.as_dict(), timestamp=time.time())
             if cur_tick % opts.snap == 0 or cur_nimg >= total_kimg * 1000:
                 host = jax.device_get(state)
-                ckpt.save_train_state(run_dir, cur_nimg // 1000, host)
+                snap_path = ckpt.save_train_state(run_dir, cur_nimg // 1000,
+                                                  host)
                 ckpt.save_ema_snapshot(
                     os.path.join(run_dir, f'ema-snapshot-{cur_nimg // 1000:06d}'),
                     cfg, dict(host.ema))
+                if metric_list:
+                    eval_metrics(host, snap_path)
                 z = jax.random.normal(jax.random.PRNGKey(0), (16, cfg.z_dim))
                 grid_c = (jnp.asarray(np.stack(
                     [dataset.get_label(i % len(dataset)) for i in range(16)],

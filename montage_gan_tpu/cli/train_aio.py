@@ -162,14 +162,21 @@ def main(**kwargs):
     ada_target = (opts.target or 0.6) if opts.aug == 'ada' else None
     augment_p = opts.p or 0.0
 
+    # --resume: None | 'noresume' | alias | path | URL
+    # (reference: train_aio.py:341-355 — aliases resolve through the
+    # retrying/caching opener; resume re-tunes ADA and disables EMA rampup)
+    from ..utils.url_util import resolve_resume
+    _, resume_desc = resolve_resume(opts.resume, fetch=False, verbose=False)
+    is_resume = opts.resume is not None and opts.resume != 'noresume'
+
     hyper = TrainHyper(
         lrate=spec.lrate, batch_size=batch,
         r1_gamma=opts.gamma if opts.gamma is not None else spec.gamma,
         global_r1_gamma=opts.gamma if opts.gamma is not None else spec.gamma,
-        ema_kimg=spec.ema, ema_rampup=spec.ramp,
+        ema_kimg=spec.ema, ema_rampup=None if is_resume else spec.ramp,
         augment=augment, ada_target=ada_target, augment_p_init=augment_p,
         aug_p_max=opts.aug_p_max,
-        ada_kimg=100 if opts.resume else 500,
+        ada_kimg=100 if is_resume else 500,
         train_local=opts.train_local, train_global=opts.train_global,
         train_renderer=opts.train_renderer,
         bypass_renderer=opts.bypass_renderer,
@@ -180,6 +187,7 @@ def main(**kwargs):
     desc = f'{dataset.name}-{opts.cfg}'
     if opts.mirror:
         desc += '-mirror'
+    desc += resume_desc
     run_dir = next_run_dir(opts.outdir, desc)
 
     print(json.dumps({'run_dir': run_dir, 'batch': batch,
@@ -196,7 +204,7 @@ def main(**kwargs):
                                            type(None))) else str(v))
                    for k, v in opts.items()}, f, indent=2)
 
-    resume_path = opts.resume
+    resume_path, _ = resolve_resume(opts.resume)
     metrics = [] if opts.metrics == 'none' else opts.metrics.split(',')
     try:
         training_loop(

@@ -40,7 +40,8 @@ def list_valid_metrics():
 class MetricOptions(EasyDict):
     def __init__(self, dataset=None, sample_fn=None, z_dim=512,
                  extractor=None, cache_dir=None, batch_size=16, seed=0,
-                 progress_fn=None):
+                 progress_fn=None, map_fn=None, synth_fn=None,
+                 ppl_samples=None):
         super().__init__()
         self.dataset = dataset
         self.sample_fn = sample_fn
@@ -50,6 +51,14 @@ class MetricOptions(EasyDict):
         self.batch_size = batch_size
         self.seed = seed
         self.progress_fn = progress_fn
+        # The mapping/synthesis split of the generator (``map_fn(z) → ws``,
+        # ``synth_fn(ws) → img [0,1]``) — required by the w-space PPL
+        # variants (reference perceptual_path_length.py:57-60).
+        self.map_fn = map_fn
+        self.synth_fn = synth_fn
+        # PPL sample budget; None → the reference's 50k
+        # (metric_main.py:90,125-176).  Set small for on-device tracking.
+        self.ppl_samples = ppl_samples
 
     @property
     def lpips_extractor(self):
@@ -128,20 +137,11 @@ def is50k(opts):
 
 @register_metric
 def ppl2_wend(opts):
-    """PPL, w-space, endpoint sampling, 50k samples in the reference
-    (metric_main.py) — sample count reduced for on-device budgets; pass a
-    pair sampler via opts.sample_pair_fn (falls back to z-space around the
-    default sampler)."""
-    from .perceptual_path_length import compute_ppl
-    pair_fn = opts.get('sample_pair_fn')
-    if pair_fn is None:
-        def pair_fn(z0, z1):
-            return opts.sample_fn(z0), opts.sample_fn(z1)
-    ppl = compute_ppl(pair_fn, opts.z_dim, opts.lpips_extractor,
-                      num_samples=2000, epsilon=1e-4, space='z',
-                      sampling='end', crop=False,
-                      batch_size=opts.batch_size, seed=opts.seed)
-    return {'ppl2_wend': ppl}
+    """PPL, w-space, endpoint sampling, 50k samples
+    (reference: metric_main.py:95); override the budget with
+    opts.ppl_samples.  Requires opts.map_fn/synth_fn (the ensemble's
+    mapping/synthesis split)."""
+    return _ppl_variant(opts, 'ppl2_wend', 'w', 'end', crop=False)
 
 
 @register_metric
@@ -175,15 +175,25 @@ def pr50k3(opts):
 
 def _ppl_variant(opts, name, space, sampling, crop):
     from .perceptual_path_length import compute_ppl
+    map_fn, synth_fn = opts.get('map_fn'), opts.get('synth_fn')
     pair_fn = opts.get('sample_pair_fn')
-    if pair_fn is None:
+    if map_fn is None and pair_fn is None:
+        if space == 'w':
+            # Never silently degrade a w-space metric to z-space — the
+            # result would be mislabeled (reference interpolates in W via
+            # the mapping net, perceptual_path_length.py:57-60).
+            raise ValueError(
+                f"{name} requires the mapping/synthesis split "
+                "(opts.map_fn + opts.synth_fn)")
+
         def pair_fn(z0, z1):
             return opts.sample_fn(z0), opts.sample_fn(z1)
-        space = 'z'  # w-space interpolation needs an ensemble pair sampler
     ppl = compute_ppl(pair_fn, opts.z_dim, opts.lpips_extractor,
-                      num_samples=2000, epsilon=1e-4, space=space,
+                      num_samples=opts.get('ppl_samples') or 50000,
+                      epsilon=1e-4, space=space,
                       sampling=sampling, crop=crop,
-                      batch_size=opts.batch_size, seed=opts.seed)
+                      batch_size=opts.batch_size, seed=opts.seed,
+                      map_fn=map_fn, synth_fn=synth_fn)
     return {name: ppl}
 
 

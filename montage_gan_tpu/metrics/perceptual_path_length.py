@@ -2,17 +2,22 @@
 
 Contract parity with the reference's PPL sampler
 (reference: metrics/perceptual_path_length.py:24-135): pairs of latents
-interpolated with slerp in Z (or lerp in W), perturbed by ±ε/2 around a
-random (or endpoint) t, both endpoints synthesized, and the squared
-perceptual distance scaled by 1/ε² accumulated; the reported value is the
-mean over the filtered samples (no percentile filtering in the '_wend'
-variants, matching the reference's sampler defaults).
+interpolated with slerp in Z (or lerp in W), perturbed by +ε around a
+random (sampling='full') or zero (sampling='end') t, both endpoints
+synthesized, and the squared perceptual distance scaled by 1/ε²
+accumulated; the reported value is the mean over the [1, 99]-percentile
+filtered samples (perceptual_path_length.py:128-131).
+
+W-space interpolation (the reference's ppl2_wend default,
+perceptual_path_length.py:57-60) requires a ``map_fn``/``synth_fn`` split
+of the generator: ``map_fn(z) → ws`` (any pytree of arrays with leading
+batch dim) and ``synth_fn(ws) → image`` ([0, 1] NHWC).  The lerp happens
+between the mapped endpoints.  Z-space interpolation slerps the latents
+and maps both endpoints (perceptual_path_length.py:61-64).
 
 The perceptual distance is pluggable: the reference uses VGG16-LPIPS
 (unavailable offline); by default the deterministic random-feature distance
-is used (relative numbers).  Like the reference (SURVEY.md §2.8 note), PPL
-operates on a single monolithic generator — here any ``(z, t_sign) →
-image`` sampler; for MontageGAN pass the composited-ensemble sampler.
+is used (relative numbers).
 """
 
 from __future__ import annotations
@@ -25,8 +30,9 @@ import numpy as np
 
 
 def slerp(a: jax.Array, b: jax.Array, t) -> jax.Array:
-    """Spherical interpolation (reference contract:
-    perceptual_path_length.py:25-35)."""
+    """Spherical interpolation, returning a UNIT vector like the reference
+    (perceptual_path_length.py:24-33 normalizes the result; scale is
+    irrelevant downstream because the mapping net RMS-normalizes z)."""
     a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
     b_n = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
     d = jnp.sum(a_n * b_n, axis=-1, keepdims=True)
@@ -34,27 +40,56 @@ def slerp(a: jax.Array, b: jax.Array, t) -> jax.Array:
     c = b_n - d * a_n
     c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
     out = a_n * jnp.cos(p) + c * jnp.sin(p)
-    return out * jnp.linalg.norm(a, axis=-1, keepdims=True)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
 
 
-def compute_ppl(sample_pair_fn: Callable,
-                z_dim: int,
-                extractor,
-                num_samples: int = 2000,
+def _lerp_tree(w0, w1, t):
+    """Per-sample lerp of two mapped-latent pytrees; ``t`` is [B, 1]."""
+    def leaf(a, b):
+        tt = t.reshape((t.shape[0],) + (1,) * (a.ndim - 1))
+        return a + (b - a) * tt
+    return jax.tree_util.tree_map(leaf, w0, w1)
+
+
+def _crop(img):
+    """The reference's asymmetric face crop (perceptual_path_length.py:76-78):
+    rows c*3 : c*7, cols c*2 : c*6 with c = H // 8."""
+    c = img.shape[1] // 8
+    return img[:, c * 3:c * 7, c * 2:c * 6]
+
+
+def compute_ppl(sample_pair_fn: Optional[Callable] = None,
+                z_dim: int = 512,
+                extractor=None,
+                num_samples: int = 50000,
                 epsilon: float = 1e-4,
                 space: str = 'z',
                 sampling: str = 'end',
                 crop: bool = False,
                 batch_size: int = 8,
-                seed: int = 0) -> float:
+                seed: int = 0,
+                map_fn: Optional[Callable] = None,
+                synth_fn: Optional[Callable] = None) -> float:
     """Args:
-        sample_pair_fn: ``(z0, z1) → (img0, img1)`` where z* are the two
-            perturbed interpolation endpoints (already eps apart in Z);
-            images NHWC RGB-ish [0, 1].
+        map_fn / synth_fn: the split generator — ``map_fn(z) → ws`` and
+            ``synth_fn(ws) → img`` (NHWC [0, 1]).  Required for space='w';
+            preferred for space='z' too (matches the reference's
+            map-both-endpoints semantics).
+        sample_pair_fn: legacy z-space-only interface
+            ``(z0, z1) → (img0, img1)`` over the two perturbed endpoints;
+            used when map_fn/synth_fn are not given.
         space/sampling: 'z'|'w' × 'full'|'end' (reference variants
-            ppl_{z,w}{full,end}; 'w'-space interpolation must be handled by
-            the caller's sample_pair_fn — pass space='w' only then).
+            ppl_{z,w}{full,end} and ppl2_wend).
     """
+    assert space in ('z', 'w') and sampling in ('full', 'end')
+    if space == 'w' and (map_fn is None or synth_fn is None):
+        raise ValueError(
+            "w-space PPL requires map_fn and synth_fn (the mapping/synthesis "
+            "split); refusing to silently fall back to z-space "
+            "interpolation under a w-space metric name")
+    if map_fn is None and sample_pair_fn is None:
+        raise ValueError("provide map_fn+synth_fn or sample_pair_fn")
+
     key = jax.random.PRNGKey(seed)
     dists = []
     done = 0
@@ -66,15 +101,22 @@ def compute_ppl(sample_pair_fn: Callable,
             t = jax.random.uniform(kt, (batch_size, 1))
         else:
             t = jnp.zeros((batch_size, 1))
-        zt0 = slerp(z0, z1, t)
-        zt1 = slerp(z0, z1, t + epsilon)
-        img0, img1 = sample_pair_fn(zt0, zt1)
+
+        if space == 'w':
+            w0, w1 = map_fn(z0), map_fn(z1)
+            img0 = synth_fn(_lerp_tree(w0, w1, t))
+            img1 = synth_fn(_lerp_tree(w0, w1, t + epsilon))
+        else:
+            zt0 = slerp(z0, z1, t)
+            zt1 = slerp(z0, z1, t + epsilon)
+            if map_fn is not None:
+                img0 = synth_fn(map_fn(zt0))
+                img1 = synth_fn(map_fn(zt1))
+            else:
+                img0, img1 = sample_pair_fn(zt0, zt1)
 
         if crop:
-            h, w = img0.shape[1], img0.shape[2]
-            c0, c1 = h // 8 * 2, w // 8 * 2
-            img0 = img0[:, c0:h - c0, c1:w - c1]
-            img1 = img1[:, c0:h - c0, c1:w - c1]
+            img0, img1 = _crop(img0), _crop(img1)
 
         f0 = extractor(jnp.asarray(img0[..., :3]) * 255.0)
         f1 = extractor(jnp.asarray(img1[..., :3]) * 255.0)

@@ -229,6 +229,15 @@ class MontageEnsemble:
         (reference: custom/loss_aio.py:238-243)."""
         ws = self.mapping.apply(variables['mapping'], z,
                                 truncation_psi=truncation_psi)
+        return self.run_global_g_from_ws(variables, ws, noise_rng, noise_mode)
+
+    def run_global_g_from_ws(self,
+                             variables: Dict[str, Any],
+                             ws: jax.Array,
+                             noise_rng: Optional[jax.Array] = None,
+                             noise_mode: str = 'random'):
+        """ws → placed layer stack [-1, 1] + theta — the synthesis half of
+        run_global_g, entered after mapping (w-space PPL, style mixing)."""
         stack = self.synthesize_layers(variables, ws, noise_rng, noise_mode)
         placed, theta = self.stn.apply(variables['stn'], stack)
         return placed, theta

@@ -11,7 +11,7 @@ into the epilogue of the producing matmul/conv, keeping it in registers/VMEM
 instead of round-tripping HBM (which is exactly what the CUDA kernel exists to
 avoid on GPUs).  JAX AD supplies the 1st/2nd-order gradients that the
 reference hand-codes as grad-order dispatch G∈{0,1,2}.  An optional Pallas
-implementation exists for benchmarking (ops/pallas/bias_act_pallas.py).
+implementation exists for benchmarking (ops/pallas/bias_act_kernel.py).
 """
 
 from __future__ import annotations

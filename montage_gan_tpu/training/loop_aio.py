@@ -95,6 +95,12 @@ class BatchPrefetcher:
             self.q.put(None)
 
     def next(self):
+        # Check the error flag BEFORE blocking on the queue: the dead worker
+        # enqueued a single None sentinel, and every subsequent next() must
+        # keep raising instead of hanging on the empty queue.
+        if self._error is not None:
+            raise RuntimeError('BatchPrefetcher worker failed') \
+                from self._error
         item = self.q.get()
         if item is None and self._error is not None:
             raise RuntimeError('BatchPrefetcher worker failed') \
@@ -376,16 +382,37 @@ def training_loop(
                     placed, _ = ens.run_global_g(vars_, z, noise_mode='const')
                     return alpha_composite(
                         normalize_zero1(jnp.clip(placed, -1, 1)))
+
+                @jax.jit
+                def _metric_map(vars_, z):
+                    return ens.mapping.apply(vars_['mapping'], z)
+
+                @jax.jit
+                def _metric_synth_ws(vars_, ws):
+                    placed, _ = ens.run_global_g_from_ws(vars_, ws,
+                                                         noise_mode='const')
+                    return alpha_composite(
+                        normalize_zero1(jnp.clip(placed, -1, 1)))
                 _metric_cache['synth'] = _metric_synth
+                _metric_cache['map'] = _metric_map
+                _metric_cache['synth_ws'] = _metric_synth_ws
                 _metric_cache['extractor'] = build_extractor('auto')
 
             def metric_sample_fn(z):
                 return _metric_cache['synth'](ema_vars, z)
 
+            def metric_map_fn(z):
+                return _metric_cache['map'](ema_vars, z)
+
+            def metric_synth_ws_fn(ws):
+                return _metric_cache['synth_ws'](ema_vars, ws)
+
             extractor = _metric_cache['extractor']
             for metric in ([] if metric_fn else metrics):
                 result = metric_main.calc_metric(
                     metric, dataset=dataset, sample_fn=metric_sample_fn,
+                    map_fn=metric_map_fn, synth_fn=metric_synth_ws_fn,
+                    ppl_samples=2000,  # in-training tracking budget
                     z_dim=cfg.z_dim, extractor=extractor,
                     cache_dir=os.path.join(run_dir, 'metric-cache'))
                 metric_main.report_metric(result, run_dir=run_dir,

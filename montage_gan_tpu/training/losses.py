@@ -258,14 +258,18 @@ def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
     diff = {'mapping', 'local_g': tuple, 'stn'} variables."""
     k_mix, k_noise, k_stn = jax.random.split(rng, 3)
     outs = []
-    new_stats = None
+    mapping_vars = diff['mapping']
+    new_stats = mapping_vars.get('moving_stats')
     for i in range(ens.cfg.num_layers):
-        img, _, stats_i = run_local_g(ens, i, diff['mapping'],
-                                      diff['local_g'][i], z,
-                                      jax.random.fold_in(k_noise, i),
-                                      style_mixing_prob, remat=True)
-        # mirror the reference: every per-layer run_G updates w_avg; keep last
-        new_stats = stats_i
+        # Thread moving_stats through the loop: the reference's run_global_G
+        # calls run_G per layer and each mapping call EMA-updates w_avg
+        # in place — N sequential updates per global phase
+        # (custom/loss_aio.py:238-243 → :67 mapping forward).
+        img, _, new_stats = run_local_g(ens, i, mapping_vars,
+                                        diff['local_g'][i], z,
+                                        jax.random.fold_in(k_noise, i),
+                                        style_mixing_prob, remat=True)
+        mapping_vars = {**mapping_vars, 'moving_stats': new_stats}
         outs.append(img)
     stack = make_batch_for_pos_estimator(outs, ens.cfg.base_resolution,
                                          pad_value=-1.0)

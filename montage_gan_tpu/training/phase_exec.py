@@ -338,7 +338,14 @@ class PhaseExecutor:
                     return fn(*args, **kwargs)
                 t0 = _time.time()
                 out = fn(*args, **kwargs)
-                jax.block_until_ready(out)
+                # sync via a scalar READBACK, not block_until_ready — the
+                # tunneled PJRT transport's block can return before the
+                # computation finishes, which silently turns these numbers
+                # into dispatch times
+                leaves = jax.tree_util.tree_leaves(out)
+                scalar = next((l for l in leaves
+                               if getattr(l, 'size', 0) == 1), leaves[0])
+                jax.device_get(scalar)
                 stats[f'Timing/{phase_name}'] = _time.time() - t0
                 return out
 

@@ -185,6 +185,18 @@ def accum_value_and_grad(loss_fn, params, data, rng, rounds: int):
     return (jnp.mean(loss_seq), aux), gsum
 
 
+def _zero_stats_like(loss_fn, params, data, rng_key):
+    """Zero-filled dict structurally matching ``loss_fn``'s ``aux['stats']``,
+    derived abstractly (jax.eval_shape, trace-time only) — the identity
+    branch of the lax.cond-gated global phases needs a same-structure carry,
+    and deriving it from the loss aux means a stat added in losses.py
+    propagates with no edit here (round-1 review item: hard-coded
+    GGMAIN/GDMAIN/GDR1 key whitelists silently dropped new stats)."""
+    _, aux_shape = jax.eval_shape(loss_fn, params, data, rng_key)
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  dict(aux_shape['stats']))
+
+
 class MontageTrainer:
     """Builds the optimizers, the initial state, and the jitted step."""
 
@@ -569,9 +581,6 @@ class MontageTrainer:
                     hyper.style_mixing_prob, self._use_renderer)
                 return loss * float(goi), aux
 
-            GGMAIN_KEYS = ('Loss/scores/fake', 'Loss/signs/fake',
-                           'Loss/G/loss', 'Loss/STN/theta_constrain')
-
             def do_ggmain(carry):
                 p, opt, ms, _ = carry
                 (loss, aux), grads = accum_value_and_grad(
@@ -579,13 +588,13 @@ class MontageTrainer:
                     hyper.global_accum_rounds)
                 grads = _nan_to_num(grads)
                 updates, opt = self.tx_global_g.update(grads, opt, p)
-                st = {k: aux['stats'][k] for k in GGMAIN_KEYS}
                 return (optax.apply_updates(p, updates), opt,
-                        aux['moving_stats'], st)
+                        aux['moving_stats'], dict(aux['stats']))
 
             if do_global_g:
                 p0 = self._global_g_params(variables)
-                zero_st = {k: jnp.zeros([]) for k in GGMAIN_KEYS}
+                zero_st = _zero_stats_like(ggmain, p0, (zs(k),),
+                                           jax.random.fold_in(k, 1))
                 carry = (p0, opt_states['global_g'],
                          variables['mapping']['moving_stats'], zero_st)
                 carry = (do_ggmain(carry) if host_scheduled
@@ -619,10 +628,6 @@ class MontageTrainer:
                     self._use_renderer, hyper.global_d_real_use_renderer)
                 return loss * float(goi), aux
 
-            GDMAIN_KEYS = ('Loss/scores/fake', 'Loss/signs/fake',
-                           'Loss/scores/real', 'Loss/signs/real',
-                           'Loss/D/loss')
-
             def do_gdmain(carry):
                 d_params, opt, ms, ss, sc, _ = carry
                 (loss, aux), grads = accum_value_and_grad(
@@ -632,12 +637,14 @@ class MontageTrainer:
                 updates, opt = self.tx_global_d.update(grads, opt, d_params)
                 ss = ss.at[num_layers].add(aux['sign_real'])
                 sc = sc.at[num_layers].add(1.0)
-                st = {k: aux['stats'][k] for k in GDMAIN_KEYS}
                 return (optax.apply_updates(d_params, updates), opt,
-                        aux['moving_stats'], ss, sc, st)
+                        aux['moving_stats'], ss, sc, dict(aux['stats']))
 
             if do_global_dmain:
-                zero_st = {k: jnp.zeros([]) for k in GDMAIN_KEYS}
+                zero_st = _zero_stats_like(gdmain,
+                                           variables['global_d']['params'],
+                                           (zs(k), real_stack),
+                                           jax.random.fold_in(k, 1))
                 carry = (variables['global_d']['params'],
                          opt_states['global_d'],
                          variables['mapping']['moving_stats'], sign_sum,
@@ -673,8 +680,6 @@ class MontageTrainer:
                         self._use_renderer, hyper.global_d_real_use_renderer)
                     return loss * float(interval), aux
 
-                GDR1_KEYS = ('Loss/r1_penalty', 'Loss/D/reg')
-
                 def do_gdr1(carry):
                     d_params, opt, ss, sc, _ = carry
                     (loss, aux), grads = accum_value_and_grad(
@@ -685,11 +690,13 @@ class MontageTrainer:
                                                            d_params)
                     ss = ss.at[num_layers].add(aux['sign_real'])
                     sc = sc.at[num_layers].add(1.0)
-                    st = {k: aux['stats'][k] for k in GDR1_KEYS}
                     return (optax.apply_updates(d_params, updates), opt,
-                            ss, sc, st)
+                            ss, sc, dict(aux['stats']))
 
-                zero_st = {k: jnp.zeros([]) for k in GDR1_KEYS}
+                zero_st = _zero_stats_like(gdr1,
+                                           variables['global_d']['params'],
+                                           (real_stack,),
+                                           jax.random.fold_in(k, 1))
                 carry = (variables['global_d']['params'],
                          opt_states['global_d'], sign_sum, sign_count,
                          zero_st)

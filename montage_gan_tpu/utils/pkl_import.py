@@ -294,9 +294,13 @@ def convert_tf_generator(stub) -> Dict[str, Any]:
         sd[f'{dst}.bias'] = p[f'{src}/bias']
         sd[f'{dst}.affine.weight'] = p[f'{src}/mod_weight'].T
         sd[f'{dst}.affine.bias'] = p[f'{src}/mod_bias'] + 1
-        if noise_idx is not None:
+        # Pickles saved with use_noise=False carry no noise buffers/strength;
+        # only populate the params that exist (the reference converter only
+        # fills params present in the instantiated module, legacy.py:221-225).
+        if noise_idx is not None and f'synthesis/noise{noise_idx}' in p:
             sd[f'{dst}.noise_const'] = np.asarray(
                 p[f'synthesis/noise{noise_idx}'][0, 0])
+        if noise_idx is not None and f'{src}/noise_strength' in p:
             sd[f'{dst}.noise_strength'] = np.asarray(
                 p[f'{src}/noise_strength'])
 
@@ -480,3 +484,86 @@ def generator_variables_from_pkl(path: str, key: str = 'G_ema'
     return (torch_import.mapping_params_from_torch(mapping_sd),
             torch_import.synthesis_params_from_torch(synthesis_sd),
             net['init_kwargs'])
+
+
+def _merge_matching_leaves(dst: Any, src: Any, copied: list, skipped: list,
+                           path: str = '') -> Any:
+    """Copy leaves of ``src`` into ``dst`` where the path exists and the
+    shape matches — the analogue of the reference's name-wise
+    ``misc.copy_params_and_buffers`` transfer (torch_utils/misc.py:160-169,
+    used for resume at training/training_loop.py:166-172): extra/missing/
+    mismatched entries are skipped, not errors."""
+    if isinstance(dst, dict) and isinstance(src, dict):
+        out = dict(dst)
+        for k, v in src.items():
+            if k in out:
+                out[k] = _merge_matching_leaves(out[k], v, copied, skipped,
+                                                f'{path}.{k}' if path else k)
+            else:
+                skipped.append(f'{path}.{k}' if path else k)
+        return out
+    if isinstance(dst, (tuple, list)) and isinstance(src, (tuple, list)):
+        n = min(len(dst), len(src))
+        merged = [_merge_matching_leaves(dst[i], src[i], copied, skipped,
+                                         f'{path}[{i}]') for i in range(n)]
+        return type(dst)(list(merged) + list(dst[n:]))
+    if hasattr(dst, 'shape') and hasattr(src, 'shape'):
+        if tuple(dst.shape) == tuple(src.shape):
+            copied.append(path)
+            return np.asarray(src, dtype=np.asarray(dst).dtype) \
+                if hasattr(dst, 'dtype') else src
+        skipped.append(path)
+        return dst
+    skipped.append(path)
+    return dst
+
+
+def transfer_into_train_state(state, path: str, verbose: bool = True):
+    """SG2-ADA snapshot pkl → single-GAN MontageTrainState with G/D/G_ema
+    parameters transferred in (the reference's transfer-learning resume:
+    legacy.load_network_pkl + copy_params_and_buffers into G/D/G_ema,
+    training/training_loop.py:166-172).  Shape-mismatched entries are left
+    at their initialized values (cross-resolution transfer)."""
+    from . import torch_import
+    data = load_network_pkl(path)
+    copied: list = []
+    skipped: list = []
+
+    def split_g(net):
+        sd = net['state_dict']
+        mapping_sd = {k[len('mapping.'):]: v for k, v in sd.items()
+                      if k.startswith('mapping.')}
+        synthesis_sd = {k[len('synthesis.'):]: v for k, v in sd.items()
+                        if k.startswith('synthesis.')}
+        return (torch_import.mapping_params_from_torch(mapping_sd),
+                torch_import.synthesis_params_from_torch(synthesis_sd))
+
+    variables = dict(state.variables)
+    ema = dict(state.ema)
+    if 'G' in data and isinstance(data['G'], dict) and 'state_dict' in data['G']:
+        m, s = split_g(data['G'])
+        variables['mapping'] = _merge_matching_leaves(
+            variables['mapping'], m, copied, skipped, 'G.mapping')
+        variables['local_g'] = (_merge_matching_leaves(
+            variables['local_g'][0], s, copied, skipped, 'G.synthesis'),
+        ) + tuple(variables['local_g'][1:])
+    if 'D' in data and isinstance(data['D'], dict) and 'state_dict' in data['D']:
+        init_kwargs = data['D'].get('init_kwargs') or {}
+        init_res = tuple(init_kwargs.get('init_res', (4, 4)))
+        d = torch_import.discriminator_params_from_torch(
+            data['D']['state_dict'], init_res=init_res)
+        variables['local_d'] = (_merge_matching_leaves(
+            variables['local_d'][0], d, copied, skipped, 'D'),
+        ) + tuple(variables['local_d'][1:])
+    if 'G_ema' in data and isinstance(data['G_ema'], dict) \
+            and 'state_dict' in data['G_ema']:
+        m, s = split_g(data['G_ema'])
+        ema['mapping'] = _merge_matching_leaves(
+            ema['mapping'], m, copied, skipped, 'G_ema.mapping')
+        ema['local_g'] = (_merge_matching_leaves(
+            ema['local_g'][0], s, copied, skipped, 'G_ema.synthesis'),
+        ) + tuple(ema['local_g'][1:])
+    if verbose:
+        print(f'transfer_into_train_state: copied {len(copied)} tensors, '
+              f'skipped {len(skipped)}')
+    return state.replace(variables=variables, ema=ema)

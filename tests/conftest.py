@@ -70,6 +70,13 @@ def stub_torchvision():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "reference: test needs the upstream reference repo as oracle")
+    config.addinivalue_line(
+        "markers", "quick: curated fast tier — `pytest -m quick` verifies the "
+                   "core contracts in <2 min (ops parity subset, composite "
+                   "oracle, sampler, config/CLI plumbing)")
+    config.addinivalue_line(
+        "markers", "slow: heavy-compile / e2e tests excluded from the quick "
+                   "tier (full suite documents its wall time in README)")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -70,7 +70,7 @@ def test_train_cli_end_to_end(image_folder, tmp_path):
         '--outdir', outdir, '--data', image_folder, '--gpus', '1',
         '--kimg', '1', '--batch', '4', '--cfg', 'auto', '--aug', 'noaug',
         '--fp32', 'true', '--channel-base', '256', '--channel-max', '32',
-        '--snap', '1',
+        '--snap', '1', '--metrics', 'fid2k',
     ], catch_exceptions=False)
     assert res.exit_code == 0, res.output
     run_dirs = os.listdir(outdir)
@@ -78,6 +78,11 @@ def test_train_cli_end_to_end(image_folder, tmp_path):
     files = set(os.listdir(os.path.join(outdir, run_dirs[0])))
     assert 'stats.jsonl' in files
     assert any('snapshot' in f for f in files), files
+    # metric eval at snapshots (reference training/training_loop.py:428-443)
+    assert 'metric-fid2k.jsonl' in files, files
+    with open(os.path.join(outdir, run_dirs[0], 'metric-fid2k.jsonl')) as f:
+        rec = json.loads(f.readline())
+    assert np.isfinite(rec['results']['fid2k'])
 
 
 @pytest.fixture(scope='module')
@@ -143,3 +148,35 @@ def test_pretrain_renderer_and_stn_cli(layer_dataset, tmp_path):
     assert res.exit_code == 0, res.output
     assert any(f.endswith('.msgpack') for f in os.listdir(s_out)), \
         os.listdir(s_out)
+
+
+def test_run_recipe_dry_run(layer_dataset, tmp_path):
+    """run-recipe launcher (reference main.py:27-58): canonical flag set +
+    per-recipe extras, overridable, resolved through train_aio --dry-run."""
+    from click.testing import CliRunner
+    from montage_gan_tpu.cli.run_recipe import main
+
+    outdir = str(tmp_path / 'runs')
+    res = CliRunner().invoke(main, [
+        'step1', '--data', layer_dataset, '--outdir', outdir, '--dry-run',
+        '--kimg', '5', '--batch', '4', '--gpus', '1',
+    ], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert '--augpipe bgcfnc' in res.output  # canonical set applied
+    assert '--kimg 5' in res.output          # override took effect
+    assert 'Dry run' in res.output
+
+    # step2 refuses to run without --resume (reference main.py semantics)
+    res = CliRunner().invoke(main, ['step2', '--data', layer_dataset,
+                                    '--outdir', outdir, '--dry-run'])
+    assert res.exit_code != 0
+    assert 'resume' in res.output
+
+    # metrics recipe wires the metric list through
+    res = CliRunner().invoke(main, [
+        'metrics', '--data', layer_dataset, '--outdir', outdir,
+        '--resume', 'noresume', '--dry-run', '--batch', '4', '--gpus', '1',
+    ], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert '--metrics fid50k_full,is50k' in res.output
+    assert '--run-once' in res.output

@@ -174,10 +174,12 @@ def test_ppl_machinery():
     a = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
     b = jnp.asarray([[0.0, 1.0], [2.0, 0.0]])
     mid = slerp(a, b, 0.5)
-    # slerp preserves the norm of a and stays on the arc
+    # slerp returns unit vectors (reference perceptual_path_length.py:24-33)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(mid), axis=-1),
-                               [1.0, 2.0], rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), np.asarray(a),
+                               [1.0, 1.0], rtol=1e-5)
+    a_unit = np.asarray(a) / np.linalg.norm(np.asarray(a), axis=-1,
+                                            keepdims=True)
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), a_unit,
                                atol=1e-6)
 
     # a smooth sampler has finite, small PPL; a discontinuous one larger
@@ -223,5 +225,61 @@ def test_ppl_legacy_variant_runs():
 
     res = metric_main.calc_metric('ppl_zend', dataset=None,
                                   sample_fn=sample_fn, z_dim=8,
-                                  extractor=IdFeatures(), batch_size=64)
+                                  extractor=IdFeatures(), batch_size=64,
+                                  ppl_samples=64)
     assert np.isfinite(res.results['ppl_zend'])
+
+
+def test_ppl_wspace_interpolates_in_w():
+    """ppl_wend/ppl2_wend really interpolate in W: with a mapping whose image
+    is a curved manifold, w-lerp endpoints differ from mapping the z-slerp
+    endpoints (reference semantics, perceptual_path_length.py:57-64), and
+    the metric runs end-to-end through map_fn/synth_fn."""
+    import jax.numpy as jnp
+    from montage_gan_tpu.metrics import metric_main
+
+    seen_ws = []
+
+    def map_fn(z):
+        return jnp.tanh(z) ** 3  # nonlinear: lerp in w != map(slerp in z)
+
+    def synth_fn(ws):
+        seen_ws.append(np.asarray(ws))
+        return jnp.tile(ws[:, :1][:, None, None] * 0.5 + 0.5, (1, 16, 16, 3))
+
+    class IdFeatures:
+        def __call__(self, x):
+            return x.reshape(x.shape[0], -1) / 255.0
+
+    res = metric_main.calc_metric('ppl2_wend', dataset=None, map_fn=map_fn,
+                                  synth_fn=synth_fn, z_dim=8,
+                                  extractor=IdFeatures(), batch_size=32,
+                                  ppl_samples=32, seed=3)
+    assert np.isfinite(res.results['ppl2_wend'])
+    # endpoint sampling: the first synth call saw exactly w0 = map_fn(z0)
+    # (t=0 lerp), NOT a z-interpolated remap — check it lies in tanh³ range
+    assert len(seen_ws) >= 2
+    w0, w1 = seen_ws[0], seen_ws[1]
+    assert np.abs(w0).max() < 1.0
+    # the ε-perturbed endpoint differs (w-lerp moved toward w1)
+    assert not np.allclose(w0, w1)
+
+    # the w-space variants refuse to run without the mapping split
+    import pytest
+    with pytest.raises(ValueError, match='map_fn'):
+        metric_main.calc_metric('ppl_wend', dataset=None,
+                                sample_fn=lambda z: None, z_dim=8,
+                                extractor=IdFeatures(), ppl_samples=8)
+
+
+def test_ppl_crop_window_matches_reference():
+    """The legacy cropped variants use the reference's asymmetric window:
+    rows c*3:c*7, cols c*2:c*6 with c = H//8
+    (reference perceptual_path_length.py:76-78)."""
+    from montage_gan_tpu.metrics.perceptual_path_length import _crop
+    img = jnp.arange(16 * 16, dtype=jnp.float32).reshape(1, 16, 16, 1)
+    out = np.asarray(_crop(img))
+    c = 2
+    np.testing.assert_array_equal(
+        out, np.asarray(img)[:, c * 3:c * 7, c * 2:c * 6])
+    assert out.shape == (1, 8, 8, 1)

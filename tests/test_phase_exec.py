@@ -145,6 +145,72 @@ def test_phase_executor_with_accumulation():
     assert np.isfinite(np.asarray(stats['a/Loss/G/loss']))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_executor_on_mesh_matches_single_device():
+    """The PRODUCTION path (PhaseExecutor.step) on an 8-device data mesh
+    must match the single-device run on the same global batch — the
+    executor-path analogue of test_parallel_matches_single_device (the
+    reference DDP-wraps every module precisely so the production scheduler
+    is the synchronized one, custom/training_loop_aio.py:409-429)."""
+    from montage_gan_tpu.parallel.mesh import (assert_replicated, make_mesh,
+                                               replicate, shard_batch)
+    from montage_gan_tpu.training.augment import AugmentConfig
+
+    batch = 8
+    cfg = MontageConfig(layer_names=('a', 'b'),
+                        layer_targets=((16, 16), (16, 8)),
+                        base_resolution=16, conv_config_index=2,
+                        z_dim=16, w_dim=16, mapping_num_layers=2,
+                        channel_base=256, channel_max=16, num_fp16_res=0,
+                        mbstd_group_size=2, stn_stages=1,
+                        renderer_type='tanh')
+    ens = MontageEnsemble(cfg)
+    hyper = TrainHyper(batch_size=batch, augment=None, ada_target=None,
+                       g_reg_interval=2, d_reg_interval=2)
+    trainer = MontageTrainer(ens, hyper)
+    state0 = trainer.init_state(jax.random.PRNGKey(0), batch=batch)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    stack = jax.random.uniform(k1, (batch, cfg.num_layers, 16, 16, 4),
+                               minval=-1.0, maxval=1.0)
+    crops = tuple(
+        jax.random.uniform(jax.random.fold_in(k2, i),
+                           (batch,) + cfg.layer_targets[i] + (4,),
+                           minval=-1.0, maxval=1.0)
+        for i in range(cfg.num_layers))
+    rng = jax.random.PRNGKey(2)
+
+    host0 = jax.device_get(state0)
+
+    # single device (separate executor: programs are cached per sharding
+    # anyway, but state buffers get donated)
+    exe1 = PhaseExecutor(trainer)
+    s1 = jax.device_put(host0)
+    s1, stats1 = exe1.step(s1, stack, crops, rng, step_idx=0)
+
+    # 8-device mesh: replicated state, batch-sharded data
+    mesh = make_mesh(8)
+    exe8 = PhaseExecutor(trainer)
+    s8 = replicate(mesh, host0)
+    s8, stats8 = exe8.step(s8, shard_batch(mesh, stack),
+                           shard_batch(mesh, crops),
+                           replicate(mesh, rng), step_idx=0)
+
+    assert_replicated(s8.variables, mesh)
+    assert set(stats1) == set(stats8)
+
+    l1 = jax.tree_util.tree_leaves(jax.device_get(s1.variables))
+    l8 = jax.tree_util.tree_leaves(jax.device_get(s8.variables))
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.pl_mean), np.asarray(s8.pl_mean),
+                               rtol=1e-4, atol=1e-6)
+    for k in stats1:
+        np.testing.assert_allclose(np.asarray(stats1[k]),
+                                   np.asarray(stats8[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
+
+
 def test_merge_all_matches_per_layer():
     """'all' mode (single locals program) computes the same math as
     'per_layer' (identical phase order and RNG streams)."""

@@ -143,3 +143,58 @@ def test_local_only_mode():
                                                jax.random.PRNGKey(2))
     assert int(state.step) == 1
     assert 'a/Loss/G/loss' in stats
+
+
+def test_new_loss_stat_propagates_without_train_step_edit(monkeypatch):
+    """A stat added to a global loss's aux flows through the gated phases
+    (zero-init carries are derived from the loss aux via eval_shape, not a
+    hard-coded key whitelist)."""
+    from montage_gan_tpu.training import losses
+
+    orig = losses.global_gmain_loss
+
+    def patched(*args, **kwargs):
+        loss, aux = orig(*args, **kwargs)
+        aux['stats']['Loss/G/extra_stat'] = loss * 0 + 42.0
+        return loss, aux
+
+    monkeypatch.setattr(losses, 'global_gmain_loss', patched)
+    ens, trainer = tiny_setup()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch=BATCH)
+    stack, crops = fake_batch(ens, jax.random.PRNGKey(1))
+    state, stats = jax.jit(trainer.train_step)(state, stack, crops,
+                                               jax.random.PRNGKey(2))
+    assert 'global/Loss/G/extra_stat' in stats
+    np.testing.assert_allclose(np.asarray(stats['global/Loss/G/extra_stat']),
+                               42.0, rtol=1e-6)
+
+
+def test_global_phase_w_avg_sequential_updates():
+    """_global_g_forward applies L SEQUENTIAL w_avg EMA updates (one per
+    per-layer mapping call), matching the reference's run_global_G
+    (custom/loss_aio.py:238-243): w_L = beta^L * w_0 + (1 - beta^L) * mean_w."""
+    from montage_gan_tpu.training import losses
+
+    ens, trainer = tiny_setup()
+    variables = ens.init_variables(jax.random.PRNGKey(0), batch=BATCH)
+    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, ens.cfg.z_dim))
+
+    diff = {'mapping': variables['mapping'],
+            'local_g': tuple(variables['local_g']),
+            'stn': variables['stn']}
+    _, _, new_stats = losses._global_g_forward(ens, diff, z,
+                                               jax.random.PRNGKey(2),
+                                               style_mixing_prob=0.0)
+
+    # one reference update to recover mean_w: w1 = b*w0 + (1-b)*m
+    beta = ens.mapping.w_avg_beta
+    w0 = np.asarray(variables['mapping']['moving_stats']['w_avg'])
+    _, mut = ens.mapping.apply(variables['mapping'], z, update_w_avg=True,
+                               mutable=['moving_stats'])
+    w1 = np.asarray(mut['moving_stats']['w_avg'])
+    mean_w = (w1 - beta * w0) / (1.0 - beta)
+
+    n = ens.cfg.num_layers
+    expected = beta ** n * w0 + (1.0 - beta ** n) * mean_w
+    np.testing.assert_allclose(np.asarray(new_stats['w_avg']), expected,
+                               rtol=1e-5, atol=1e-7)
