@@ -325,9 +325,16 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
         in_h, in_w = x.shape[1], x.shape[2]
         G = (scale2d(2.0 / in_w, 2.0 / in_h).reshape(1, 3, 3) @ G
              @ scale2d_inv(2.0 / out_w, 2.0 / out_h).reshape(1, 3, 3))
+        from ..ops.affine_warp import affine_warp, use_matmul_warp
         from ..ops.grid_sample import affine_grid
-        grid = affine_grid(G[:, :2, :], out_h, out_w)
-        x = grid_sample(x, grid)
+        if use_matmul_warp():
+            # Dense-hat matmul engine: ~6× faster forward and ~20× faster
+            # backward than the gather formulation on TPU (see
+            # ops/affine_warp.py), bit-identical up to fp32 rounding.
+            x = affine_warp(x, G[:, :2, :], out_h, out_w)
+        else:
+            grid = affine_grid(G[:, :2, :], out_h, out_w)
+            x = grid_sample(x, grid)
         images = downsample2d(x, _HZ_GEOM, down=2, padding=-hz_pad * 2,
                               flip_filter=True)
 

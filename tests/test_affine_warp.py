@@ -1,0 +1,172 @@
+"""Parity of the dense-hat matmul affine warp against the gather grid_sample.
+
+The gather implementation (ops/grid_sample.py) is itself parity-tested
+against torch grid_sample (tests/test_ops_parity.py), so it is the oracle
+here; the matmul engine must match it up to fp32 coordinate rounding on
+every path (tiled, full-canvas, out-of-bounds zeros padding) and through
+first and second derivatives (R1 differentiates through the augment warp,
+reference custom/loss_aio.py:168-179).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from montage_gan_tpu.ops.affine_warp import affine_warp
+from montage_gan_tpu.ops.grid_sample import affine_grid, grid_sample
+
+pytestmark = pytest.mark.quick
+
+
+def _ada_like_thetas(n, seed=0, translate=0.125):
+    """Random matrices shaped like the composed ADA G_inv (flip/rot90/scale/
+    rotate/aniso/translate)."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(n):
+        s = 2.0 ** (rng.randn() * 0.2)
+        an = 2.0 ** (rng.randn() * 0.2)
+        th = rng.uniform(-np.pi, np.pi)
+        t = rng.randn(2) * translate
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        lin = rot @ np.diag([s * an, s / an])
+        if i % 3 == 0:
+            lin = lin @ np.array([[0.0, -1.0], [1.0, 0.0]])
+        if i % 2 == 0:
+            lin = lin @ np.diag([-1.0, 1.0])
+        out.append(np.concatenate([lin, t[:, None]], axis=1))
+    return jnp.asarray(np.stack(out), jnp.float32)
+
+
+def _oracle(x, theta, out_h, out_w):
+    return grid_sample(x, affine_grid(theta, out_h, out_w))
+
+
+def test_tiled_matches_gather():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 96, 72, 4), jnp.float32)
+    theta = _ada_like_thetas(4)
+    ref = _oracle(x, theta, 80, 64)
+    got = affine_warp(x, theta, 80, 64, tile=16, block=48,
+                      precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_full_canvas_path_matches_gather():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (3, 24, 20, 2), jnp.float32)
+    theta = _ada_like_thetas(3, seed=1)
+    ref = _oracle(x, theta, 28, 18)
+    # block >= both axes -> _warp_full
+    got = affine_warp(x, theta, 28, 18, block=64,
+                      precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_one_axis_windowed():
+    # Window covers width fully but tiles the height (bw == w < block <= h).
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(key, (2, 120, 40, 3), jnp.float32)
+    theta = _ada_like_thetas(2, seed=2)
+    ref = _oracle(x, theta, 110, 36)
+    got = affine_warp(x, theta, 110, 36, tile=16, block=56,
+                      precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_zeros_padding_out_of_bounds():
+    # Big translation pushes most samples out of bounds: zeros-padding
+    # semantics (partial border taps included) must match the gather path.
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (2, 48, 48, 1), jnp.float32) + 1.0
+    eye = np.tile(np.eye(2, 3, dtype=np.float32), (2, 1, 1))
+    eye[0, 0, 2] = 1.7   # shift sampling far right
+    eye[1, 1, 2] = -1.3
+    theta = jnp.asarray(eye)
+    ref = _oracle(x, theta, 48, 48)
+    got = affine_warp(x, theta, 48, 48, tile=16, block=32,
+                      precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+    # sanity: the far side really is zero-filled
+    assert float(jnp.min(ref)) == 0.0
+
+
+def test_grad_matches_gather():
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (3, 64, 64, 4), jnp.float32)
+    theta = _ada_like_thetas(3, seed=4)
+    tgt = jax.random.normal(jax.random.PRNGKey(5), (3, 56, 56, 4))
+
+    def loss(fn):
+        return lambda a: jnp.sum(fn(a) * tgt)
+
+    g_ref = jax.grad(loss(lambda a: _oracle(a, theta, 56, 56)))(x)
+    g_got = jax.grad(loss(lambda a: affine_warp(
+        a, theta, 56, 56, tile=16, block=48,
+        precision=lax.Precision.HIGHEST)))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-3)
+
+
+def test_grad_with_big_translation():
+    # Large shifts push input tiles' cotangent windows against the output
+    # plane edges: the transpose's clamped window slicing must still place
+    # every contribution (tiles whose preimage is fully off-plane get zero).
+    key = jax.random.PRNGKey(9)
+    x = jax.random.uniform(key, (2, 64, 64, 2), jnp.float32)
+    eye = np.tile(np.eye(2, 3, dtype=np.float32), (2, 1, 1))
+    eye[0, 0, 2] = 1.4
+    eye[1, 1, 2] = -0.9
+    theta = jnp.asarray(eye)
+    tgt = jax.random.normal(jax.random.PRNGKey(10), (2, 48, 48, 2))
+
+    def loss(fn):
+        return lambda a: jnp.sum(fn(a) * tgt)
+
+    g_ref = jax.grad(loss(lambda a: _oracle(a, theta, 48, 48)))(x)
+    g_got = jax.grad(loss(lambda a: affine_warp(
+        a, theta, 48, 48, tile=16, block=48,
+        precision=lax.Precision.HIGHEST)))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-3)
+
+
+def test_double_grad_r1_shaped():
+    # grad of sum(grad^2) — the R1 pattern — must be finite and match the
+    # gather path (the op is linear, so double-backward is exercised via a
+    # nonlinearity on top).
+    key = jax.random.PRNGKey(6)
+    x = jax.random.uniform(key, (2, 40, 40, 2), jnp.float32)
+    theta = _ada_like_thetas(2, seed=6)
+
+    def r1(fn):
+        def inner(a):
+            g = jax.grad(lambda b: jnp.sum(jnp.tanh(fn(b))))(a)
+            return jnp.sum(g * g)
+        return jax.grad(inner)
+
+    g_ref = r1(lambda a: _oracle(a, theta, 36, 36))(x)
+    g_got = r1(lambda a: affine_warp(a, theta, 36, 36, tile=8, block=32,
+                                     precision=lax.Precision.HIGHEST))(x)
+    assert bool(jnp.all(jnp.isfinite(g_got)))
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-3)
+
+
+def test_augment_pipe_matmul_matches_gather(monkeypatch):
+    # The full ADA pipe with the matmul warp must reproduce the gather-path
+    # output (same RNG stream ⇒ same matrices; only the warp differs).
+    from montage_gan_tpu.training.augment import augment_pipe, make_augment_config
+    cfg = make_augment_config('bgc')
+    key = jax.random.PRNGKey(7)
+    imgs = jax.random.uniform(jax.random.PRNGKey(8), (4, 32, 32, 4),
+                              jnp.float32) * 2 - 1
+    p = jnp.float32(0.8)
+    monkeypatch.setenv('MGT_WARP_IMPL', 'gather')
+    ref = augment_pipe(imgs, p, key, cfg)
+    monkeypatch.setenv('MGT_WARP_IMPL', 'matmul')
+    got = augment_pipe(imgs, p, key, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
