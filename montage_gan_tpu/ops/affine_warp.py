@@ -1,4 +1,4 @@
-"""Exact bilinear affine warp as tiled dense-hat matmuls (MXU-native).
+"""Exact bilinear (and FIR-fused) affine warp as tiled dense matmuls.
 
 Computes the same result as ``grid_sample(x, affine_grid(theta, Ho, Wo))``
 (torch ``align_corners=False`` bilinear with zeros padding — the contract of
@@ -15,20 +15,37 @@ transpose (the VJP) is more dense matmuls instead of a scatter-add.  Measured
 on v5e at the ADA augment shapes ([16, 792, 792, 4] → 524²): gather
 grid_sample = 194 ms fwd / 1445 ms grad; this engine ≈ 35/~110 ms.
 
+Fused upsample (``up=2, up_filter=f``): the ADA geometric branch samples a
+2× ``upsample2d`` of the input (reference ``training/augment.py:331-339``).
+``warp(upsample2d(x, f, up)) ≡ warp(x)`` with the bilinear hat replaced by
+the *piecewise-linear interpolant of f* evaluated at stride-``up`` tap
+positions:
+
+    sum_m hat(s_p - m) * (up2 x)[m] = sum_l K(s_p - up·l + p0 - up + 1) x[l],
+    K(u) = up · sum_j hat(u - j) f[j]
+
+(``upsample2d`` places taps at ``m = up·l - p0 + up - 1 + j`` with
+``p0 = (T + up - 1)//2`` and per-axis gain ``up`` — pinned by a calibration
+test).  This is an identity, not an approximation — including the border
+crop: ``upfirdn2d`` discards convolution tails outside ``[0, up·L)``, which
+the weight builder reproduces by masking taps whose virtual position falls
+off the plane.  The fused form warps the 1×-resolution input directly: ~4×
+fewer window FLOPs and no up2 pass at all.
+
 Forward tiling: the output is cut into ``tile``×``tile`` tiles; for each tile
 the source coordinates (affine ⇒ extremes at tile corners) select a
-``block``×``block`` input window via ``dynamic_slice``.  The hat weights are
+``block``×``block`` input window via ``dynamic_slice``.  The weights are
 built densely against the window's row/column iota, so the contraction is a
 ``[P, block] @ [block, block·C]`` matmul per tile (P = tile²), scanned over
 (tile-row × batch) with the tiles of one row vmapped.
 
 Transpose tiling (the VJP wrt x) is the mirror image, *gather-side*: the
-INPUT plane is cut into tiles; for each input tile the window of the
-output-cotangent plane whose points can touch it (the preimage of the
-±1-expanded tile rect under the pixel-space affine, located via theta⁻¹)
-is sliced, and
+INPUT plane is cut into ``tile_t``×``tile_t`` tiles; for each input tile the
+window of the output-cotangent plane whose points can touch it (the preimage
+of the support-expanded tile rect under the pixel-space affine, located via
+theta⁻¹) is sliced, and
 
-    dx[k, l] = sum_q hat(sy_q - k) * hat(sx_q - l) * g[q]
+    dx[k, l] = sum_q wy[q, k] * wx[q, l] * g[q]
 
 is a dense ``[tile, Q] @ [Q, tile·C]`` contraction per tile (Q = window
 points).  Every output write is a disjoint input tile — no scatter, no
@@ -37,13 +54,13 @@ measured 121 ms on v5e at the shapes above, dominated by ~4.6k sequential
 32-lane dynamic-update-slices).
 
 Coverage contract: a window of ``block`` rows covers a tile whose source
-footprint spans ≤ ``block − 2`` rows, i.e. per-axis |Jacobian| row sums up
-to ``(block − 2)/tile`` in the forward and the same bound on |J⁻¹| in the
-transpose (3.9 px/px at the 32/128 default — beyond 5σ of the ADA scale
-distribution, combined iso·aniso·√2(rotation) ≲ 2.7×·1.41).  Matrices
-beyond that read zeros for the uncovered taps instead of the true pixels
-(the window clamps); callers with heavier-tailed transforms should raise
-``block``.
+footprint spans ≤ ``block − support`` rows, i.e. per-axis |Jacobian| row
+sums up to ``≈ (block − supp)·up/tile`` in the forward and the symmetric
+bound on |J⁻¹| in the transpose (≥3.5 px/px at the defaults — beyond 5σ of
+the ADA scale distribution, combined iso·aniso·√2(rotation) ≲ 2.7×·1.41).
+Matrices beyond that read zeros for the uncovered taps instead of the true
+pixels (the window clamps); callers with heavier-tailed transforms should
+raise ``block``/``block_t``.
 
 Differentiation: the op is linear in ``x``; forward and transpose are a
 mutually-referencing ``jax.custom_vjp`` pair (the round-1 upfirdn2d pattern,
@@ -60,10 +77,11 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -72,7 +90,7 @@ def use_matmul_warp() -> bool:
     ``impl='cuda'|'ref'`` dual-path pattern, bias_act.py:103-105).
 
     ``MGT_WARP_IMPL``: ``matmul`` | ``gather`` | ``auto`` (default).  Auto
-    picks the dense-hat matmul engine on TPU (where gather/scatter lowering
+    picks the dense matmul engine on TPU (where gather/scatter lowering
     is catastrophic) and the gather path elsewhere (CPU tests, parity vs
     torch).
     """
@@ -86,43 +104,106 @@ def use_matmul_warp() -> bool:
 
 class _Spec(NamedTuple):
     n: int
-    h: int            # input spatial size
+    h: int            # stored (1×) input spatial size
     w: int
     c: int
     out_h: int        # output spatial size
     out_w: int
-    tile: int
-    block: int
+    tile: int         # forward: output tile edge
+    block: int        # forward: input window edge (in stored-l units)
+    tile_t: int       # transpose: input tile edge
+    block_t: int      # transpose: output-cotangent window edge
+    up: int           # virtual upsample factor (1 = plain bilinear)
+    taps: Optional[Tuple[float, ...]]   # FIR taps of the fused upsample
     precision: lax.Precision
+
+    @property
+    def hv(self) -> int:          # virtual (upsampled) input extent
+        return self.h * self.up
+
+    @property
+    def wv(self) -> int:
+        return self.w * self.up
+
+    @property
+    def n_taps(self) -> int:      # kernel tap count (1 = plain hat)
+        return 1 if self.taps is None else len(self.taps)
+
+    @property
+    def p0(self) -> int:          # upsample2d's leading pad (calibrated)
+        return 0 if self.taps is None else (self.n_taps + self.up - 1) // 2
+
+    @property
+    def coord_shift(self) -> float:
+        # s' = (s + p0 - up + 1) / up maps virtual-pixel coords to
+        # stored-l units such that weight = up·K(up·(s' - l)).
+        return float(self.p0 - self.up + 1)
 
 
 def _hat(dist: jax.Array) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
 
 
-def _source_coords(theta, in_h, in_w, out_h, out_w, hp, wp):
-    """Pixel-space source coordinates of every (padded-)output pixel.
+def _weights(spec: _Spec, sp, labs, axis_virtual_len: int) -> jax.Array:
+    """Dense weight matrix between points and stored-plane taps.
 
-    align_corners=False: normalized ±1 ↦ outer pixel *edges*, so
-    ``x_norm = (2·xo + 1)/W − 1`` and ``s_pix = (s_norm + 1)·(w/2) − 0.5``.
-    Returns ``sx, sy`` of shape ``[N, hp, wp]`` (f32).
+    Args:
+        sp: ``[..., P]`` point source coordinates in stored-l units (s').
+        labs: ``[..., B]`` absolute stored-plane tap indices (f32).
+        axis_virtual_len: virtual plane extent along this axis (``up·L``).
+    Returns:
+        ``[..., P, B]`` weights: plain hat when ``taps is None``, else the
+        fused kernel ``up·Σ_j hat(up·(s'−l) − j)·f[j]`` with taps masked to
+        the virtual plane (upfirdn2d's border crop).
     """
-    xo = (2.0 * jnp.arange(wp, dtype=jnp.float32) + 1.0) / out_w - 1.0
-    yo = (2.0 * jnp.arange(hp, dtype=jnp.float32) + 1.0) / out_h - 1.0
+    d = sp[..., :, None] - labs[..., None, :]
+    if spec.taps is None:
+        return _hat(d)
+    u = spec.up * d
+    c0 = spec.up - 1 - spec.p0   # virtual tap base: m = up·l + c0 + j
+    base = spec.up * labs + float(c0)
+    acc = None
+    for j, fj in enumerate(spec.taps):
+        m = base + float(j)
+        valid = ((m >= 0.0) & (m < float(axis_virtual_len)))
+        fjm = (float(fj) * spec.up) * valid.astype(jnp.float32)
+        term = _hat(u - float(j)) * fjm[..., None, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _support(spec: _Spec) -> Tuple[float, float]:
+    """Stored-l support of the kernel around s': contributing taps satisfy
+    ``s' - lo < l < s' + hi``."""
+    # u = up·(s' − l) ∈ (−1, n_taps) ⇒ l ∈ (s' − n_taps/up, s' + 1/up)
+    return spec.n_taps / spec.up, 1.0 / spec.up
+
+
+def _source_coords(spec: _Spec, theta, hp: int, wp: int):
+    """Stored-l-unit source coordinates of every (padded-)output pixel.
+
+    align_corners=False over the *virtual* plane: normalized ±1 ↦ outer
+    pixel edges of the ``up·L`` extent; then shifted into stored-l units.
+    Returns ``spx, spy`` of shape ``[N, hp, wp]`` (f32).
+    """
+    xo = (2.0 * jnp.arange(wp, dtype=jnp.float32) + 1.0) / spec.out_w - 1.0
+    yo = (2.0 * jnp.arange(hp, dtype=jnp.float32) + 1.0) / spec.out_h - 1.0
     xx = jnp.broadcast_to(xo[None, :], (hp, wp))
     yy = jnp.broadcast_to(yo[:, None], (hp, wp))
     a = theta[:, None, None, :, :]  # [N,1,1,2,3]
     sx = ((a[..., 0, 0] * xx + a[..., 0, 1] * yy + a[..., 0, 2]) + 1.0) \
-        * (in_w * 0.5) - 0.5
+        * (spec.wv * 0.5) - 0.5
     sy = ((a[..., 1, 0] * xx + a[..., 1, 1] * yy + a[..., 1, 2]) + 1.0) \
-        * (in_h * 0.5) - 0.5
-    return sx, sy
+        * (spec.hv * 0.5) - 0.5
+    shift = spec.coord_shift
+    inv = 1.0 / spec.up
+    return (sx + shift) * inv, (sy + shift) * inv
 
 
 # --------------------------- forward (sampling) ---------------------------
 
 def _warp_tiled(spec: _Spec, x, theta):
-    """Output-tiled dense-hat sampling: [N,H,W,C] f32 → [N,out_h,out_w,C]."""
+    """Output-tiled dense sampling: [N,H,W,C] f32 → [N,out_h,out_w,C]."""
     n, h, w, c = spec.n, spec.h, spec.w, spec.c
     tile = spec.tile
     bh = min(spec.block, h)
@@ -131,8 +212,9 @@ def _warp_tiled(spec: _Spec, x, theta):
     ntj = -(-spec.out_w // tile)
     hp, wp = nti * tile, ntj * tile
     p = tile * tile
+    lo, _ = _support(spec)
 
-    sx, sy = _source_coords(theta, h, w, spec.out_h, spec.out_w, hp, wp)
+    spx, spy = _source_coords(spec, theta, hp, wp)
 
     # Tile view ordered [NTI, N, NTJ, P] so one scan step = one (tile-row,
     # sample) pair with its NTJ tiles vmapped.
@@ -140,13 +222,14 @@ def _warp_tiled(spec: _Spec, x, theta):
         t = s.reshape(n, nti, tile, ntj, tile)
         return t.transpose(1, 0, 3, 2, 4).reshape(nti * n, ntj, p)
 
-    sx_t, sy_t = tiles_of(sx), tiles_of(sy)
-    # Window origins per tile (affine ⇒ the extremes sit at tile corners, but
-    # min over all P points is just as cheap and more robust).
-    w0 = jnp.clip(jnp.floor(jnp.min(sx_t, axis=-1)).astype(jnp.int32),
-                  0, w - bw)                                  # [NTI·N, NTJ]
-    h0 = jnp.clip(jnp.floor(jnp.min(sy_t, axis=-1)).astype(jnp.int32),
-                  0, h - bh)
+    sx_t, sy_t = tiles_of(spx), tiles_of(spy)
+    # Window origins per tile: lowest contributing tap is
+    # floor(min s' − lo) + 1 (affine ⇒ the extremes sit at tile corners,
+    # but min over all P points is just as cheap and more robust).
+    w0 = jnp.clip(jnp.floor(jnp.min(sx_t, axis=-1) - lo).astype(jnp.int32)
+                  + 1, 0, w - bw)                             # [NTI·N, NTJ]
+    h0 = jnp.clip(jnp.floor(jnp.min(sy_t, axis=-1) - lo).astype(jnp.int32)
+                  + 1, 0, h - bh)
     bidx = jnp.tile(jnp.arange(n, dtype=jnp.int32), (nti, 1)).reshape(-1)
 
     iw = jnp.arange(bw, dtype=jnp.float32)
@@ -160,10 +243,10 @@ def _warp_tiled(spec: _Spec, x, theta):
                 x, (b, h0_s, w0_s, 0), (1, bh, bw, c))[0]
 
         blk = jax.vmap(slice_block)(h0_r, w0_r)  # [NTJ, bh, bw, C]
-        wx = _hat(sx_r[:, :, None]
-                  - (w0_r[:, None, None].astype(jnp.float32) + iw))
-        wy = _hat(sy_r[:, :, None]
-                  - (h0_r[:, None, None].astype(jnp.float32) + ih))
+        wx = _weights(spec, sx_r,
+                      w0_r[:, None].astype(jnp.float32) + iw, spec.wv)
+        wy = _weights(spec, sy_r,
+                      h0_r[:, None].astype(jnp.float32) + ih, spec.hv)
         # Contract columns on the MXU, then rows on the VPU.
         z = jnp.einsum('tpw,thwc->tphc', wx, blk,
                        precision=spec.precision)  # [NTJ, P, bh, C]
@@ -183,45 +266,54 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
 
     Input tiles partition the plane, so every per-tile result is written
     disjointly (a reshape, not a scatter).  The output-plane window feeding
-    one input tile is located by mapping the tile's ±1-expanded corners
-    through the inverse of the pixel-space affine.
+    one input tile is located by mapping the tile's support-expanded corners
+    through the inverse of the (virtual) pixel-space affine.
     """
     n, h, w, c = spec.n, spec.h, spec.w, spec.c
-    tile = spec.tile
+    tile = spec.tile_t
     out_h, out_w = spec.out_h, spec.out_w
-    gbh = min(spec.block, out_h)
-    gbw = min(spec.block, out_w)
+    gbh = min(spec.block_t, out_h)
+    gbw = min(spec.block_t, out_w)
     nti = -(-h // tile)
     ntj = -(-w // tile)
     hip, wip = nti * tile, ntj * tile
     q = gbh * gbw
+    lo, hi = _support(spec)
 
     # Source coords of the *actual* output grid — shared formula with the
     # forward, so the adjoint weights match the forward weights exactly.
-    sx, sy = _source_coords(theta, h, w, out_h, out_w, out_h, out_w)
+    spx, spy = _source_coords(spec, theta, out_h, out_w)
 
-    # Pixel-space affine s_pix = A_pix · p_pix + b_pix, from the normalized
-    # theta (out pixel (xo,yo) → in pixel (sx,sy)); then invert it to map
-    # input-tile corners back to output-plane positions.
-    axx = theta[:, 0, 0] * (w / out_w)
-    axy = theta[:, 0, 1] * (w / out_h)
-    ayx = theta[:, 1, 0] * (h / out_w)
-    ayy = theta[:, 1, 1] * (h / out_h)
+    # Virtual-pixel-space affine s_pix = A_pix · p_pix + b_pix, from the
+    # normalized theta (out pixel (xo,yo) → virtual in pixel (sx,sy));
+    # inverted, it maps input-tile corners back to output-plane positions.
+    hv, wv = spec.hv, spec.wv
+    axx = theta[:, 0, 0] * (wv / out_w)
+    axy = theta[:, 0, 1] * (wv / out_h)
+    ayx = theta[:, 1, 0] * (hv / out_w)
+    ayy = theta[:, 1, 1] * (hv / out_h)
     bx = ((theta[:, 0, 0] * (1.0 / out_w - 1.0)
            + theta[:, 0, 1] * (1.0 / out_h - 1.0) + theta[:, 0, 2]) + 1.0) \
-        * (w * 0.5) - 0.5
+        * (wv * 0.5) - 0.5
     by = ((theta[:, 1, 0] * (1.0 / out_w - 1.0)
            + theta[:, 1, 1] * (1.0 / out_h - 1.0) + theta[:, 1, 2]) + 1.0) \
-        * (h * 0.5) - 0.5
+        * (hv * 0.5) - 0.5
     det = axx * ayy - axy * ayx
     ixx, ixy = ayy / det, -axy / det
     iyx, iyy = -ayx / det, axx / det
 
-    # Input tile corner coords, expanded by the hat support (±1).
+    # Stored-tile corner coords expanded to the kernel support, expressed in
+    # VIRTUAL pixel units (the inverse affine's domain): a tap at stored l
+    # is touched by points with s' ∈ (l − hi, l + lo), i.e. virtual
+    # s ∈ (up·(l − hi) − shift, up·(l + lo) − shift).
+    shift = spec.coord_shift
     k0f = (jnp.arange(nti, dtype=jnp.float32) * tile)
     l0f = (jnp.arange(ntj, dtype=jnp.float32) * tile)
-    ky = jnp.stack([k0f - 1.0, k0f + tile], -1)           # [nti, 2]
-    lx = jnp.stack([l0f - 1.0, l0f + tile], -1)           # [ntj, 2]
+    up = float(spec.up)
+    ky = jnp.stack([up * (k0f - hi) - shift,
+                    up * (k0f + tile - 1 + lo) - shift], -1)   # [nti, 2]
+    lx = jnp.stack([up * (l0f - hi) - shift,
+                    up * (l0f + tile - 1 + lo) - shift], -1)   # [ntj, 2]
 
     def corners(cx, cy):
         # [N, nti, ntj, 2(kcorner), 2(lcorner)]
@@ -251,12 +343,12 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
         def one_tile(u0_s, v0_s, lcol):
             g_w = lax.dynamic_slice(g, (b, u0_s, v0_s, 0),
                                     (1, gbh, gbw, c))[0].reshape(q, c)
-            sx_w = lax.dynamic_slice(sx, (b, u0_s, v0_s),
+            sx_w = lax.dynamic_slice(spx, (b, u0_s, v0_s),
                                      (1, gbh, gbw))[0].reshape(q)
-            sy_w = lax.dynamic_slice(sy, (b, u0_s, v0_s),
+            sy_w = lax.dynamic_slice(spy, (b, u0_s, v0_s),
                                      (1, gbh, gbw))[0].reshape(q)
-            wy = _hat(sy_w[:, None] - (krow.astype(jnp.float32) + it))
-            wx = _hat(sx_w[:, None] - (lcol.astype(jnp.float32) + it))
+            wy = _weights(spec, sy_w, krow.astype(jnp.float32) + it, spec.hv)
+            wx = _weights(spec, sx_w, lcol.astype(jnp.float32) + it, spec.wv)
             zq = wx[:, :, None] * g_w[:, None, :]          # [Q, tile, C]
             return jnp.einsum('qk,qlc->klc', wy, zq,
                               precision=spec.precision)    # [tile, tile, C]
@@ -309,46 +401,59 @@ _warpT.defvjp(_warpT_fwd, _warpT_bwd)
 
 def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
                 *, tile: int = 32, block: int = 128,
+                tile_t: Optional[int] = None, block_t: Optional[int] = None,
+                up: int = 1, up_filter=None,
                 precision: lax.Precision = lax.Precision.HIGH) -> jax.Array:
-    """Bilinear-sample NHWC ``x`` on the affine grid of ``theta``.
+    """Bilinear-sample NHWC ``x`` (optionally through a virtual ``up``×
+    FIR upsample) on the affine grid of ``theta``.
 
     Args:
         x: ``[N, H, W, C]`` input images.
         theta: ``[N, 2, 3]`` inverse transforms in the normalized
-            ``affine_grid`` convention (output coords → input coords).
+            ``affine_grid`` convention (output coords → input coords), over
+            the *virtual* ``[up·H, up·W]`` plane when ``up > 1``.
         out_h, out_w: output spatial size.
-        tile: square tile edge for both the forward (output tiles) and the
-            transpose (input tiles); each tile is one dense matmul.
-        block: window edge per tile; must cover the tile's source footprint
-            in the forward and the tile's cotangent footprint in the
-            transpose (see coverage contract above).  Clamped to the
-            corresponding plane size per axis.
-        precision: matmul precision for the hat contractions.  ``HIGH``
+        tile / block: forward output-tile and input-window edges.
+        tile_t / block_t: transpose input-tile and cotangent-window edges
+            (default: same as tile/block).
+        up, up_filter: when ``up > 1``, the result equals
+            ``affine_warp(upsample2d(x, up_filter, up), theta, ...)``
+            exactly, computed at 1× resolution (see module docstring).
+        precision: matmul precision for the weight contractions.  ``HIGH``
             (3-pass bf16) keeps ~fp32 accuracy; use ``HIGHEST`` for
             bit-parity tests against the gather reference.
     Returns:
-        ``[N, out_h, out_w, C]``, exactly ``grid_sample(x, affine_grid(...))``
-        within the coverage contract.
+        ``[N, out_h, out_w, C]``, exactly ``grid_sample(x_up,
+        affine_grid(...))`` within the coverage contract.
     """
     n, h, w, c = x.shape
     theta = lax.stop_gradient(theta.astype(jnp.float32))
-    if min(block, h) >= h and min(block, w) >= w:
+    taps = None
+    if up > 1:
+        assert up_filter is not None, 'up > 1 requires up_filter taps'
+        f = np.asarray(up_filter, dtype=np.float64)
+        assert f.ndim == 1, 'fused upsample requires a separable 1-D filter'
+        taps = tuple(float(v) for v in f)
+    spec = _Spec(n, h, w, c, out_h, out_w, tile, block,
+                 tile_t or tile, block_t or block, up, taps, precision)
+    if min(spec.block, h) >= h and min(spec.block, w) >= w:
         # Tiny canvas: one full-input window, no slicing machinery.
-        return _warp_full(x, theta, out_h, out_w, precision)
-    spec = _Spec(n, h, w, c, out_h, out_w, tile, block, precision)
+        return _warp_full(spec, x, theta)
     out = _warp(spec, x.astype(jnp.float32), theta)
     return out.astype(x.dtype)
 
 
-def _warp_full(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
-               precision: lax.Precision) -> jax.Array:
-    """Whole-input dense-hat warp for canvases at or below the block size."""
-    n, h, w, c = x.shape
-    sx, sy = _source_coords(theta, h, w, out_h, out_w, out_h, out_w)
+def _warp_full(spec: _Spec, x, theta) -> jax.Array:
+    """Whole-input dense warp for canvases at or below the block size."""
+    n, h, w, c = spec.n, spec.h, spec.w, spec.c
+    out_h, out_w = spec.out_h, spec.out_w
+    spx, spy = _source_coords(spec, theta, out_h, out_w)
     p = out_h * out_w
-    wx = _hat(sx.reshape(n, p, 1) - jnp.arange(w, dtype=jnp.float32))
-    wy = _hat(sy.reshape(n, p, 1) - jnp.arange(h, dtype=jnp.float32))
+    wx = _weights(spec, spx.reshape(n, p),
+                  jnp.arange(w, dtype=jnp.float32)[None], spec.wv)
+    wy = _weights(spec, spy.reshape(n, p),
+                  jnp.arange(h, dtype=jnp.float32)[None], spec.hv)
     z = jnp.einsum('npw,nhwc->nphc', wx, x.astype(jnp.float32),
-                   precision=precision)
+                   precision=spec.precision)
     out = jnp.einsum('nph,nphc->npc', wy, z)
     return out.reshape(n, out_h, out_w, -1).astype(x.dtype)

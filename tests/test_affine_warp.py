@@ -156,6 +156,107 @@ def test_double_grad_r1_shaped():
                                atol=2e-3)
 
 
+def test_upsample2d_tap_placement_calibration():
+    # The fused up2∘warp kernel assumes upsample2d places filter taps at
+    # m = up*l - p0 + up - 1 + j with per-axis gain `up` and
+    # p0 = (T + up - 1)//2 (ops/affine_warp.py module docstring).  Pin that
+    # against the real op so a upfirdn2d convention change cannot silently
+    # skew the fused warp.
+    from montage_gan_tpu.ops.upfirdn2d import upsample2d
+    from montage_gan_tpu.training.augment import _HZ_GEOM
+    f = np.asarray(_HZ_GEOM)
+    T = len(f)
+    up = 2
+    p0 = (T + up - 1) // 2
+    L = 24
+    x = np.zeros((1, L, L, 1), np.float32)
+    x[0, 10, 5, 0] = 1.0
+    y = np.asarray(upsample2d(jnp.asarray(x), f, up=up))[0, :, :, 0]
+    expect = np.zeros_like(y)
+    row = np.zeros(2 * L)
+    col = np.zeros(2 * L)
+    for j in range(T):
+        col[up * 10 - p0 + up - 1 + j] += up * f[j]
+        row[up * 5 - p0 + up - 1 + j] += up * f[j]
+    expect = np.outer(col, row)
+    np.testing.assert_allclose(y, expect, atol=1e-6)
+
+
+def _fused_oracle(x, theta, out_h, out_w, f):
+    from montage_gan_tpu.ops.upfirdn2d import upsample2d
+    return _oracle(upsample2d(x, f, up=2), theta, out_h, out_w)
+
+
+def test_fused_up2_matches_up2_then_gather():
+    from montage_gan_tpu.training.augment import _HZ_GEOM
+    f = np.asarray(_HZ_GEOM)
+    key = jax.random.PRNGKey(11)
+    x = jax.random.uniform(key, (3, 70, 54, 4), jnp.float32)
+    theta = _ada_like_thetas(3, seed=11)
+    ref = _fused_oracle(x, theta, 120, 96, f)
+    got = affine_warp(x, theta, 120, 96, up=2, up_filter=f,
+                      tile=16, block=48, tile_t=8, block_t=64,
+                      precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+    # full-canvas path too
+    got_f = affine_warp(x, theta, 120, 96, up=2, up_filter=f, block=128,
+                        precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref), atol=1e-3)
+
+
+def test_fused_up2_border_crop_exact():
+    # upfirdn2d crops convolution tails at the plane borders; the fused
+    # kernel's tap masks must reproduce that, exercised by sampling ON the
+    # borders via a large translation.
+    from montage_gan_tpu.training.augment import _HZ_GEOM
+    f = np.asarray(_HZ_GEOM)
+    x = jax.random.uniform(jax.random.PRNGKey(12), (2, 40, 40, 2),
+                           jnp.float32) + 1.0
+    eye = np.tile(np.eye(2, 3, dtype=np.float32), (2, 1, 1))
+    eye[0, 0, 2] = 0.95   # sample right up against the plane edge
+    eye[1, 1, 2] = -0.95
+    theta = jnp.asarray(eye)
+    ref = _fused_oracle(x, theta, 80, 80, f)
+    got = affine_warp(x, theta, 80, 80, up=2, up_filter=f,
+                      tile=16, block=36, tile_t=8, block_t=64,
+                      precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_fused_grad_and_double_grad():
+    from montage_gan_tpu.training.augment import _HZ_GEOM
+    f = np.asarray(_HZ_GEOM)
+    x = jax.random.uniform(jax.random.PRNGKey(13), (2, 48, 48, 2),
+                           jnp.float32)
+    theta = _ada_like_thetas(2, seed=13)
+    tgt = jax.random.normal(jax.random.PRNGKey(14), (2, 72, 72, 2))
+
+    def warp_fused(a):
+        return affine_warp(a, theta, 72, 72, up=2, up_filter=f,
+                           tile=16, block=40, tile_t=8, block_t=80,
+                           precision=lax.Precision.HIGHEST)
+
+    def warp_ref(a):
+        return _fused_oracle(a, theta, 72, 72, f)
+
+    g_ref = jax.grad(lambda a: jnp.sum(warp_ref(a) * tgt))(x)
+    g_got = jax.grad(lambda a: jnp.sum(warp_fused(a) * tgt))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-3)
+
+    def r1(fn):
+        def inner(a):
+            g = jax.grad(lambda b: jnp.sum(jnp.tanh(fn(b))))(a)
+            return jnp.sum(g * g)
+        return jax.grad(inner)
+
+    gg_ref = r1(warp_ref)(x)
+    gg_got = r1(warp_fused)(x)
+    assert bool(jnp.all(jnp.isfinite(gg_got)))
+    np.testing.assert_allclose(np.asarray(gg_got), np.asarray(gg_ref),
+                               atol=3e-3)
+
+
 def test_augment_pipe_matmul_matches_gather(monkeypatch):
     # The full ADA pipe with the matmul warp must reproduce the gather-path
     # output (same RNG stream ⇒ same matrices; only the warp differs).
