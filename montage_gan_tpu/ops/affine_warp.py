@@ -113,6 +113,8 @@ class _Spec(NamedTuple):
     block: int        # forward: input window edge (in stored-l units)
     tile_t: int       # transpose: input tile edge
     block_t: int      # transpose: output-cotangent window edge
+    chunk: int        # forward: tiles per scan step
+    chunk_t: int      # transpose: tiles per scan step
     up: int           # virtual upsample factor (1 = plain bilinear)
     taps: Optional[Tuple[float, ...]]   # FIR taps of the fused upsample
     precision: lax.Precision
@@ -202,6 +204,34 @@ def _source_coords(spec: _Spec, theta, hp: int, wp: int):
 
 # --------------------------- forward (sampling) ---------------------------
 
+def _chunked_scan(tile_fn, xs_flat, n_tiles: int, chunk: int):
+    """Map ``tile_fn`` over a flat tile list in chunks of ``chunk`` tiles
+    per ``lax.scan`` step (tiles within a chunk are vmapped).
+
+    One tile per scan step serializes hundreds of tiny
+    DMA→VPU→MXU→VPU rounds and the step latency dominates the kernel
+    (measured 5× slower than the same FLOPs chunked); chunking batches the
+    window DMAs and gives the MXU full-size batched contractions.  The tail
+    chunk is padded with duplicates of tile 0 and the padding dropped.
+    """
+    n_chunks = -(-n_tiles // chunk)
+    pad = n_chunks * chunk - n_tiles
+
+    def pad_chunk(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+        return a.reshape((n_chunks, chunk) + a.shape[1:])
+
+    xs = tuple(pad_chunk(a) for a in xs_flat)
+
+    def one_chunk(_, args):
+        return _, jax.vmap(tile_fn)(*args)
+
+    _, out = lax.scan(one_chunk, 0, xs)
+    out = out.reshape((n_chunks * chunk,) + out.shape[2:])
+    return out[:n_tiles] if pad else out
+
+
 def _warp_tiled(spec: _Spec, x, theta):
     """Output-tiled dense sampling: [N,H,W,C] f32 → [N,out_h,out_w,C]."""
     n, h, w, c = spec.n, spec.h, spec.w, spec.c
@@ -216,44 +246,39 @@ def _warp_tiled(spec: _Spec, x, theta):
 
     spx, spy = _source_coords(spec, theta, hp, wp)
 
-    # Tile view ordered [NTI, N, NTJ, P] so one scan step = one (tile-row,
-    # sample) pair with its NTJ tiles vmapped.
+    # Flat tile list ordered [NTI, N, NTJ] (kept from the row-scan layout so
+    # the inverse reshape below stays simple).
     def tiles_of(s):
         t = s.reshape(n, nti, tile, ntj, tile)
-        return t.transpose(1, 0, 3, 2, 4).reshape(nti * n, ntj, p)
+        return t.transpose(1, 0, 3, 2, 4).reshape(nti * n * ntj, p)
 
     sx_t, sy_t = tiles_of(spx), tiles_of(spy)
     # Window origins per tile: lowest contributing tap is
     # floor(min s' − lo) + 1 (affine ⇒ the extremes sit at tile corners,
     # but min over all P points is just as cheap and more robust).
     w0 = jnp.clip(jnp.floor(jnp.min(sx_t, axis=-1) - lo).astype(jnp.int32)
-                  + 1, 0, w - bw)                             # [NTI·N, NTJ]
+                  + 1, 0, w - bw)                             # [T]
     h0 = jnp.clip(jnp.floor(jnp.min(sy_t, axis=-1) - lo).astype(jnp.int32)
                   + 1, 0, h - bh)
-    bidx = jnp.tile(jnp.arange(n, dtype=jnp.int32), (nti, 1)).reshape(-1)
+    bidx = jnp.tile(jnp.repeat(jnp.arange(n, dtype=jnp.int32), ntj), (nti,))
+    bidx = bidx.reshape(-1)
 
     iw = jnp.arange(bw, dtype=jnp.float32)
     ih = jnp.arange(bh, dtype=jnp.float32)
 
-    def one_row(_, args):
-        sx_r, sy_r, h0_r, w0_r, b = args        # [NTJ, P], [NTJ], scalar
-
-        def slice_block(h0_s, w0_s):
-            return lax.dynamic_slice(
-                x, (b, h0_s, w0_s, 0), (1, bh, bw, c))[0]
-
-        blk = jax.vmap(slice_block)(h0_r, w0_r)  # [NTJ, bh, bw, C]
-        wx = _weights(spec, sx_r,
-                      w0_r[:, None].astype(jnp.float32) + iw, spec.wv)
-        wy = _weights(spec, sy_r,
-                      h0_r[:, None].astype(jnp.float32) + ih, spec.hv)
+    def one_tile(sx_r, sy_r, h0_s, w0_s, b):      # [P], [P], scalars
+        blk = lax.dynamic_slice(x, (b, h0_s, w0_s, 0), (1, bh, bw, c))[0]
+        wx = _weights(spec, sx_r[None],
+                      w0_s[None, None].astype(jnp.float32) + iw, spec.wv)[0]
+        wy = _weights(spec, sy_r[None],
+                      h0_s[None, None].astype(jnp.float32) + ih, spec.hv)[0]
         # Contract columns on the MXU, then rows on the VPU.
-        z = jnp.einsum('tpw,thwc->tphc', wx, blk,
-                       precision=spec.precision)  # [NTJ, P, bh, C]
-        out = jnp.einsum('tph,tphc->tpc', wy, z)  # [NTJ, P, C]
-        return _, out
+        z = jnp.einsum('pw,hwc->phc', wx, blk,
+                       precision=spec.precision)  # [P, bh, C]
+        return jnp.einsum('ph,phc->pc', wy, z)    # [P, C]
 
-    _, rows = lax.scan(one_row, 0, (sx_t, sy_t, h0, w0, bidx))
+    rows = _chunked_scan(one_tile, (sx_t, sy_t, h0, w0, bidx),
+                         nti * n * ntj, min(spec.chunk, nti * n * ntj))
     out = rows.reshape(nti, n, ntj, tile, tile, c)
     out = out.transpose(1, 0, 3, 2, 4, 5).reshape(n, hp, wp, c)
     return out[:, :spec.out_h, :spec.out_w]
@@ -329,34 +354,33 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
     u0 = jnp.clip(jnp.floor(jnp.min(u, axis=(-1, -2))).astype(jnp.int32),
                   0, out_h - gbh)
 
-    u0_t = u0.transpose(1, 0, 2).reshape(nti * n, ntj)
-    v0_t = v0.transpose(1, 0, 2).reshape(nti * n, ntj)
-    bidx = jnp.tile(jnp.arange(n, dtype=jnp.int32), (nti, 1)).reshape(-1)
-    k0_t = jnp.repeat(jnp.arange(nti, dtype=jnp.int32) * tile, n)
+    u0_t = u0.transpose(1, 0, 2).reshape(-1)     # flat [NTI·N·NTJ]
+    v0_t = v0.transpose(1, 0, 2).reshape(-1)
+    bidx = jnp.tile(jnp.repeat(jnp.arange(n, dtype=jnp.int32), ntj), (nti,))
+    bidx = bidx.reshape(-1)
+    k0_t = jnp.repeat(jnp.arange(nti, dtype=jnp.int32) * tile, n * ntj)
+    l0_t = jnp.tile(jnp.arange(ntj, dtype=jnp.int32) * tile, (nti * n,))
 
     it = jnp.arange(tile, dtype=jnp.float32)
-    lcols = jnp.arange(ntj, dtype=jnp.int32) * tile
 
-    def one_row(_, args):
-        u0_r, v0_r, b, krow = args               # [NTJ], [NTJ], scalar×2
+    def one_tile(u0_s, v0_s, b, krow, lcol):
+        g_w = lax.dynamic_slice(g, (b, u0_s, v0_s, 0),
+                                (1, gbh, gbw, c))[0].reshape(q, c)
+        sx_w = lax.dynamic_slice(spx, (b, u0_s, v0_s),
+                                 (1, gbh, gbw))[0].reshape(q)
+        sy_w = lax.dynamic_slice(spy, (b, u0_s, v0_s),
+                                 (1, gbh, gbw))[0].reshape(q)
+        wy = _weights(spec, sy_w[None],
+                      krow[None, None].astype(jnp.float32) + it, spec.hv)[0]
+        wx = _weights(spec, sx_w[None],
+                      lcol[None, None].astype(jnp.float32) + it, spec.wv)[0]
+        zq = wx[:, :, None] * g_w[:, None, :]          # [Q, tile, C]
+        return jnp.einsum('qk,qlc->klc', wy, zq,
+                          precision=spec.precision)    # [tile, tile, C]
 
-        def one_tile(u0_s, v0_s, lcol):
-            g_w = lax.dynamic_slice(g, (b, u0_s, v0_s, 0),
-                                    (1, gbh, gbw, c))[0].reshape(q, c)
-            sx_w = lax.dynamic_slice(spx, (b, u0_s, v0_s),
-                                     (1, gbh, gbw))[0].reshape(q)
-            sy_w = lax.dynamic_slice(spy, (b, u0_s, v0_s),
-                                     (1, gbh, gbw))[0].reshape(q)
-            wy = _weights(spec, sy_w, krow.astype(jnp.float32) + it, spec.hv)
-            wx = _weights(spec, sx_w, lcol.astype(jnp.float32) + it, spec.wv)
-            zq = wx[:, :, None] * g_w[:, None, :]          # [Q, tile, C]
-            return jnp.einsum('qk,qlc->klc', wy, zq,
-                              precision=spec.precision)    # [tile, tile, C]
-
-        out = jax.vmap(one_tile)(u0_r, v0_r, lcols)  # [NTJ, tile, tile, C]
-        return _, out
-
-    _, rows = lax.scan(one_row, 0, (u0_t, v0_t, bidx, k0_t))
+    n_tiles = nti * n * ntj
+    rows = _chunked_scan(one_tile, (u0_t, v0_t, bidx, k0_t, l0_t),
+                         n_tiles, min(spec.chunk_t, n_tiles))
     dx = rows.reshape(nti, n, ntj, tile, tile, c)
     dx = dx.transpose(1, 0, 3, 2, 4, 5).reshape(n, hip, wip, c)
     return dx[:, :h, :w]
@@ -402,6 +426,7 @@ _warpT.defvjp(_warpT_fwd, _warpT_bwd)
 def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
                 *, tile: int = 32, block: int = 128,
                 tile_t: Optional[int] = None, block_t: Optional[int] = None,
+                chunk: int = 64, chunk_t: int = 16,
                 up: int = 1, up_filter=None,
                 precision: lax.Precision = lax.Precision.HIGH) -> jax.Array:
     """Bilinear-sample NHWC ``x`` (optionally through a virtual ``up``×
@@ -416,6 +441,8 @@ def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
         tile / block: forward output-tile and input-window edges.
         tile_t / block_t: transpose input-tile and cotangent-window edges
             (default: same as tile/block).
+        chunk / chunk_t: tiles per scan step in the forward / transpose
+            (throughput vs. transient-memory knob; see _chunked_scan).
         up, up_filter: when ``up > 1``, the result equals
             ``affine_warp(upsample2d(x, up_filter, up), theta, ...)``
             exactly, computed at 1× resolution (see module docstring).
@@ -435,7 +462,8 @@ def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
         assert f.ndim == 1, 'fused upsample requires a separable 1-D filter'
         taps = tuple(float(v) for v in f)
     spec = _Spec(n, h, w, c, out_h, out_w, tile, block,
-                 tile_t or tile, block_t or block, up, taps, precision)
+                 tile_t or tile, block_t or block, chunk, chunk_t,
+                 up, taps, precision)
     if min(spec.block, h) >= h and min(spec.block, w) >= w:
         # Tiny canvas: one full-input window, no slicing machinery.
         return _warp_full(spec, x, theta)

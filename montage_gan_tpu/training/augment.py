@@ -330,11 +330,14 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
         if use_matmul_warp():
             # Dense-matmul warp engine with the ×2 upsample fused into the
             # sampling kernel (exact — see ops/affine_warp.py): the warp
-            # reads the 1× padded plane directly, ~6× faster forward and
-            # ~20× faster backward than up2+gather on TPU.
+            # reads the 1× padded plane directly.  Measured at the 256px ADA
+            # shape (mb16, 396→524 fused ×2): fwd 31 vs 215 ms, bwd 131 vs
+            # 1464 ms against up2+gather on a v5e.  Tile/block/chunk values
+            # are the swept optimum at that shape.
             x = affine_warp(x, G[:, :2, :], out_h, out_w,
                             up=2, up_filter=_HZ_GEOM,
-                            tile=32, block=64, tile_t=16, block_t=128)
+                            tile=32, block=64, tile_t=32, block_t=160,
+                            chunk=64, chunk_t=8)
         else:
             x = upsample2d(x, _HZ_GEOM, up=2)
             grid = affine_grid(G[:, :2, :], out_h, out_w)
