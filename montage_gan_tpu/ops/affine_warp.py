@@ -53,14 +53,25 @@ read-modify-write accumulation, no serial loop (a scatter-add formulation
 measured 121 ms on v5e at the shapes above, dominated by ~4.6k sequential
 32-lane dynamic-update-slices).
 
-Coverage contract: a window of ``block`` rows covers a tile whose source
-footprint spans ≤ ``block − support`` rows, i.e. per-axis |Jacobian| row
-sums up to ``≈ (block − supp)·up/tile`` in the forward and the symmetric
-bound on |J⁻¹| in the transpose (≥3.5 px/px at the defaults — beyond 5σ of
-the ADA scale distribution, combined iso·aniso·√2(rotation) ≲ 2.7×·1.41).
-Matrices beyond that read zeros for the uncovered taps instead of the true
-pixels (the window clamps); callers with heavier-tailed transforms should
-raise ``block``/``block_t``.
+Coverage contract (per direction, NOT symmetric): the forward window of
+``block`` stored rows covers an output tile whose source footprint fits,
+i.e. per-axis |J| row sums up to ``≈ (block − supp − 1)·up/tile``
+(*minification* bound); the transpose window of ``block_t`` output rows
+covers an input tile touched by ≤ ``block_t`` output rows, i.e. |J⁻¹| row
+sums up to ``≈ block_t / (up·(tile_t − 1) + n_taps + 1)`` (*magnification*
+bound).  Beyond its bound a window clamps and the uncovered taps read
+zeros instead of the true values — the forward then drops input pixels,
+and the transpose drops cotangent mass, so the VJP is the exact adjoint of
+the computed forward only while BOTH bounds hold.  At the ADA call site
+(training/augment.py: tile=32, block=64, tile_t=32, block_t=160, up=2,
+12 taps) the forward bound is ≈3.5 and the transpose bound ≈2.13.  Under
+ADA's transform law (iso & aniso scale each 2^N(0,0.2), rotation uniform)
+exceeding 2.13 magnification needs scale AND aniso active with a >2.6σ
+joint draw times a near-45° rotation — ≲0.1% of geometric-branch samples
+even at p=1, each losing only the window-edge sliver of its gradient.
+Raising ``block_t`` buys coverage at ~quadratic cost (weight-build VPU
+work ∝ block_t²/tile_t); callers with heavier-tailed transforms should
+raise ``block``/``block_t`` accordingly.
 
 Differentiation: the op is linear in ``x``; forward and transpose are a
 mutually-referencing ``jax.custom_vjp`` pair (the round-1 upfirdn2d pattern,
@@ -144,6 +155,13 @@ class _Spec(NamedTuple):
 
 def _hat(dist: jax.Array) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
+
+
+def _flat_batch_indices(nti: int, n: int, ntj: int) -> jax.Array:
+    """Batch index of each tile in the shared flat [NTI, N, NTJ] tile
+    ordering (the load-bearing convention both the forward's and the
+    transpose's scan/reshape pair rely on)."""
+    return jnp.tile(jnp.repeat(jnp.arange(n, dtype=jnp.int32), ntj), (nti,))
 
 
 def _weights(spec: _Spec, sp, labs, axis_virtual_len: int) -> jax.Array:
@@ -260,8 +278,7 @@ def _warp_tiled(spec: _Spec, x, theta):
                   + 1, 0, w - bw)                             # [T]
     h0 = jnp.clip(jnp.floor(jnp.min(sy_t, axis=-1) - lo).astype(jnp.int32)
                   + 1, 0, h - bh)
-    bidx = jnp.tile(jnp.repeat(jnp.arange(n, dtype=jnp.int32), ntj), (nti,))
-    bidx = bidx.reshape(-1)
+    bidx = _flat_batch_indices(nti, n, ntj)
 
     iw = jnp.arange(bw, dtype=jnp.float32)
     ih = jnp.arange(bh, dtype=jnp.float32)
@@ -275,7 +292,8 @@ def _warp_tiled(spec: _Spec, x, theta):
         # Contract columns on the MXU, then rows on the VPU.
         z = jnp.einsum('pw,hwc->phc', wx, blk,
                        precision=spec.precision)  # [P, bh, C]
-        return jnp.einsum('ph,phc->pc', wy, z)    # [P, C]
+        return jnp.einsum('ph,phc->pc', wy, z,
+                          precision=spec.precision)  # [P, C]
 
     rows = _chunked_scan(one_tile, (sx_t, sy_t, h0, w0, bidx),
                          nti * n * ntj, min(spec.chunk, nti * n * ntj))
@@ -324,6 +342,12 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
            + theta[:, 1, 1] * (1.0 / out_h - 1.0) + theta[:, 1, 2]) + 1.0) \
         * (hv * 0.5) - 0.5
     det = axx * ayy - axy * ayx
+    # Guard (near-)singular thetas: a degenerate affine collapses the image
+    # to a line, so any clamped window is as good as another — keep the
+    # corner math finite instead of propagating inf/NaN into the int32
+    # window origins (gather grid_sample degrades gracefully here too).
+    det = jnp.where(jnp.abs(det) < 1e-12, jnp.where(det < 0, -1e-12, 1e-12),
+                    det)
     ixx, ixy = ayy / det, -axy / det
     iyx, iyy = -ayx / det, axx / det
 
@@ -356,8 +380,7 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
 
     u0_t = u0.transpose(1, 0, 2).reshape(-1)     # flat [NTI·N·NTJ]
     v0_t = v0.transpose(1, 0, 2).reshape(-1)
-    bidx = jnp.tile(jnp.repeat(jnp.arange(n, dtype=jnp.int32), ntj), (nti,))
-    bidx = bidx.reshape(-1)
+    bidx = _flat_batch_indices(nti, n, ntj)
     k0_t = jnp.repeat(jnp.arange(nti, dtype=jnp.int32) * tile, n * ntj)
     l0_t = jnp.tile(jnp.arange(ntj, dtype=jnp.int32) * tile, (nti * n,))
 
@@ -461,6 +484,9 @@ def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
         f = np.asarray(up_filter, dtype=np.float64)
         assert f.ndim == 1, 'fused upsample requires a separable 1-D filter'
         taps = tuple(float(v) for v in f)
+    else:
+        assert up_filter is None, 'up_filter requires up > 1 (a filter ' \
+            'with up=1 would be silently ignored)'
     spec = _Spec(n, h, w, c, out_h, out_w, tile, block,
                  tile_t or tile, block_t or block, chunk, chunk_t,
                  up, taps, precision)
@@ -483,5 +509,5 @@ def _warp_full(spec: _Spec, x, theta) -> jax.Array:
                   jnp.arange(h, dtype=jnp.float32)[None], spec.hv)
     z = jnp.einsum('npw,nhwc->nphc', wx, x.astype(jnp.float32),
                    precision=spec.precision)
-    out = jnp.einsum('nph,nphc->npc', wy, z)
+    out = jnp.einsum('nph,nphc->npc', wy, z, precision=spec.precision)
     return out.reshape(n, out_h, out_w, -1).astype(x.dtype)

@@ -333,7 +333,12 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
             # reads the 1× padded plane directly.  Measured at the 256px ADA
             # shape (mb16, 396→524 fused ×2): fwd 31 vs 215 ms, bwd 131 vs
             # 1464 ms against up2+gather on a v5e.  Tile/block/chunk values
-            # are the swept optimum at that shape.
+            # are the swept optimum at that shape.  Coverage at these values
+            # (see ops/affine_warp.py module docstring): |J| ≤ ~3.5 forward,
+            # |J⁻¹| ≤ ~2.13 transpose — ≲0.1% of geometric draws (joint
+            # >2.6σ scale·aniso magnification at near-45° rotation) lose the
+            # window-edge sliver of their gradient; raise block_t for
+            # heavier-tailed transform laws.
             x = affine_warp(x, G[:, :2, :], out_h, out_w,
                             up=2, up_filter=_HZ_GEOM,
                             tile=32, block=64, tile_t=32, block_t=160,

@@ -25,6 +25,7 @@ Key contract points preserved:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -280,8 +281,11 @@ def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
 def _global_d_forward(ens: MontageEnsemble, d_vars, renderer_vars, stack,
                       aug_cfg, aug_p, rng, use_renderer: bool):
     """run_global_D (reference: custom/loss_aio.py:245-257).  The renderer →
-    augment → D chain is rematerialized (memory: the global R1 double
-    backward holds this chain's activations twice otherwise)."""
+    augment → D chain is rematerialized by default (memory: the global R1
+    double backward holds this chain's activations twice otherwise).
+    ``MGT_REMAT_GLOBAL_D=0`` disables the remat — semantics-neutral, trades
+    HBM for the recompute FLOPs; viable on parts with more headroom than the
+    16G v5e at the production batch."""
 
     def fwd(d_v, r_v, stk, p):
         if ens.renderer is not None and use_renderer:
@@ -292,9 +296,11 @@ def _global_d_forward(ens: MontageEnsemble, d_vars, renderer_vars, stack,
             blended = augment_pipe(blended, p, rng, aug_cfg)
         return ens.global_d.apply(d_v, blended)
 
+    remat = os.environ.get('MGT_REMAT_GLOBAL_D', '1') != '0'
+    wrap = jax.checkpoint if remat else (lambda f: f)
     if ens.renderer is not None and use_renderer:
-        return jax.checkpoint(fwd)(d_vars, renderer_vars, stack, aug_p)
-    return jax.checkpoint(
+        return wrap(fwd)(d_vars, renderer_vars, stack, aug_p)
+    return wrap(
         lambda d_v, stk, p: fwd(d_v, None, stk, p))(d_vars, stack, aug_p)
 
 

@@ -260,14 +260,69 @@ def test_fused_grad_and_double_grad():
 def test_augment_pipe_matmul_matches_gather(monkeypatch):
     # The full ADA pipe with the matmul warp must reproduce the gather-path
     # output (same RNG stream ⇒ same matrices; only the warp differs).
+    # 48×48 images pad to an 84×84 geometric plane > block=64 on both axes,
+    # so this drives the production TILED scan path (32×32 would pad to
+    # 60×60 and silently fall through to _warp_full).
     from montage_gan_tpu.training.augment import augment_pipe, make_augment_config
     cfg = make_augment_config('bgc')
     key = jax.random.PRNGKey(7)
-    imgs = jax.random.uniform(jax.random.PRNGKey(8), (4, 32, 32, 4),
+    imgs = jax.random.uniform(jax.random.PRNGKey(8), (4, 48, 48, 4),
                               jnp.float32) * 2 - 1
     p = jnp.float32(0.8)
     monkeypatch.setenv('MGT_WARP_IMPL', 'gather')
     ref = augment_pipe(imgs, p, key, cfg)
     monkeypatch.setenv('MGT_WARP_IMPL', 'matmul')
     got = augment_pipe(imgs, p, key, cfg)
+    assert got.shape == ref.shape == imgs.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+
+    # Gradients through the full pipe (the R1 path backprops through the
+    # augment to raw reals) must agree between the two warp engines too.
+    tgt = jax.random.normal(jax.random.PRNGKey(15), imgs.shape)
+
+    def loss(a):
+        return jnp.sum(augment_pipe(a, p, key, cfg) * tgt)
+
+    monkeypatch.setenv('MGT_WARP_IMPL', 'gather')
+    g_ref = jax.grad(loss)(imgs)
+    monkeypatch.setenv('MGT_WARP_IMPL', 'matmul')
+    g_got = jax.grad(loss)(imgs)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-2)
+
+
+def test_tiled_vjp_is_adjoint_of_forward():
+    # <g, W x> must equal <Wᵀ g, x> exactly (up to fp rounding) on the
+    # TILED path within the coverage contract — the custom VJP pair must be
+    # mutually adjoint, not merely close to the gather reference.
+    key = jax.random.PRNGKey(20)
+    x = jax.random.normal(key, (3, 96, 96, 2), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(21), (3, 88, 88, 2),
+                          jnp.float32)
+    theta = _ada_like_thetas(3, seed=20)
+
+    def warp(a):
+        return affine_warp(a, theta, 88, 88, tile=16, block=48,
+                           tile_t=16, block_t=96,
+                           precision=lax.Precision.HIGHEST)
+
+    y, vjp = jax.vjp(warp, x)
+    (gx,) = vjp(g)
+    lhs = float(jnp.vdot(g, y))
+    rhs = float(jnp.vdot(gx, x))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_singular_theta_stays_finite():
+    # A degenerate affine (zero scale on one axis) must not poison the
+    # transpose's window math with inf/NaN (det guard in ops/affine_warp.py).
+    x = jax.random.uniform(jax.random.PRNGKey(22), (1, 64, 64, 1),
+                           jnp.float32)
+    theta = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]]], jnp.float32)
+
+    def loss(a):
+        return jnp.sum(affine_warp(a, theta, 56, 56, tile=16, block=48) ** 2)
+
+    val, grad = jax.value_and_grad(loss)(x)
+    assert bool(jnp.isfinite(val))
+    assert bool(jnp.all(jnp.isfinite(grad)))

@@ -198,3 +198,37 @@ def test_global_phase_w_avg_sequential_updates():
     expected = beta ** n * w0 + (1.0 - beta ** n) * mean_w
     np.testing.assert_allclose(np.asarray(new_stats['w_avg']), expected,
                                rtol=1e-5, atol=1e-7)
+
+
+def test_global_d_remat_switch_is_semantics_neutral(monkeypatch):
+    """MGT_REMAT_GLOBAL_D=0 removes the jax.checkpoint around the renderer →
+    augment → global-D chain (an HBM/FLOPs trade, losses._global_d_forward);
+    loss values and gradients must be bit-identical either way."""
+    from montage_gan_tpu.training import losses
+
+    ens, trainer = tiny_setup()
+    variables = ens.init_variables(jax.random.PRNGKey(0), batch=BATCH)
+    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, ens.cfg.z_dim))
+    stack, _ = fake_batch(ens, jax.random.PRNGKey(2))
+    frozen = {'mapping': variables['mapping'],
+              'local_g': tuple(variables['local_g']),
+              'stn': variables['stn'],
+              'renderer': variables.get('renderer')}
+    aug = AugmentConfig(xflip=1, brightness=1)
+
+    def dmain(d_vars):
+        loss, _ = losses.global_dmain_loss(
+            d_vars, ens, frozen, z, stack, jax.random.PRNGKey(3),
+            aug, jnp.float32(0.5))
+        return loss
+
+    out = {}
+    for flag in ('1', '0'):
+        monkeypatch.setenv('MGT_REMAT_GLOBAL_D', flag)
+        out[flag] = jax.value_and_grad(dmain)(variables['global_d'])
+
+    np.testing.assert_array_equal(np.asarray(out['1'][0]),
+                                  np.asarray(out['0'][0]))
+    for a, b in zip(jax.tree_util.tree_leaves(out['1'][1]),
+                    jax.tree_util.tree_leaves(out['0'][1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
