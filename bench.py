@@ -34,6 +34,28 @@ TPU_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
+
+def _retry_transient(fn, *args, tries=4, wait_s=60.0, **kwargs):
+    """Run ``fn``, retrying on transient transport failures (the tunneled
+    compile relay occasionally drops connections mid-run: UNAVAILABLE /
+    'Connection refused').  Phase dispatch is functional — on failure the
+    caller's state is untouched — so a bounded retry with backoff is safe.
+    Deadline-style errors that are NOT transient (OOM, compile errors)
+    re-raise immediately."""
+    for attempt in range(tries):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            msg = str(e)
+            transient = ('UNAVAILABLE' in msg or 'Connection refused' in msg
+                         or 'Connection reset' in msg or 'transport' in msg)
+            if not transient or attempt == tries - 1:
+                raise
+            _log(f"transient transport error (attempt {attempt + 1}/"
+                 f"{tries}), retrying in {wait_s:.0f}s: {msg[:200]}")
+            time.sleep(wait_s)
+            wait_s *= 2
+
 # Estimated reference (PyTorch, A100) train_aio throughput at cfg 'aio'.
 # The reference publishes no benchmarks (BASELINE.md); this anchor is derived
 # from SG2-ADA's published 256px training speed scaled by MontageGAN's ~11
@@ -123,8 +145,9 @@ def main():
     _log("compiling + running first step (this warms all phase programs)...")
     step_idx = 0
     t_compile = time.time()
-    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(1),
-                                 step_idx=step_idx)
+    state, stats = _retry_transient(
+        executor.step, state, stack, crops, jax.random.PRNGKey(1),
+        step_idx=step_idx)
     step_idx += 1
     sync(state)
     compile_s = time.time() - t_compile
@@ -134,11 +157,10 @@ def main():
     # don't run) so the timed window sees zero compiles/cache loads
     for i, widx in enumerate(WARMUP_STEP_IDXS):
         t0 = time.time()
-        state, stats = executor.step(state, stack, crops,
-                                     jax.random.PRNGKey(2 + i),
-                                     step_idx=widx,
-                                     time_phases=(i == len(WARMUP_STEP_IDXS)
-                                                  - 1))
+        state, stats = _retry_transient(
+            executor.step, state, stack, crops, jax.random.PRNGKey(2 + i),
+            step_idx=widx,
+            time_phases=(i == len(WARMUP_STEP_IDXS) - 1))
         sync(state)
         _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
     for k, v in sorted(stats.items()):
@@ -149,9 +171,9 @@ def main():
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):
-        state, stats = executor.step(state, stack, crops,
-                                     jax.random.PRNGKey(100 + i),
-                                     step_idx=step_idx)
+        state, stats = _retry_transient(
+            executor.step, state, stack, crops, jax.random.PRNGKey(100 + i),
+            step_idx=step_idx)
         step_idx += 1
         # Per-step readback barrier: bounds in-flight programs to ONE step's
         # worth.  Letting all MEASURE_STEPS dispatch asynchronously OOMs the

@@ -143,9 +143,14 @@ def accum_value_and_grad(loss_fn, params, data, rng, rounds: int):
 
     Gradients are SUMMED over rounds (the reference's un-normalized
     accumulation, custom/loss_aio.py:52-63); ``aux['stats']``/
-    ``aux['sign_real']`` are averaged; other aux entries (moving_stats,
-    pl_mean) keep the last round's value.  ``data`` leaves must have a
-    leading batch axis divisible by ``rounds``.
+    ``aux['sign_real']`` are averaged.  The EMA-tracked aux entries
+    (``moving_stats``, ``pl_mean``) are ALSO averaged across rounds — and
+    this is exact, not an approximation: every round's update starts from
+    the same base value and an EMA step is linear in the batch mean, so
+    ``mean_r(β·s0 + (1−β)·m_r) = β·s0 + (1−β)·mean(m_r)`` — identical to
+    the single full-batch update the reference performs at its canonical
+    1-round config (batch_gpu == batch, train_aio.py:179-184).  ``data``
+    leaves must have a leading batch axis divisible by ``rounds``.
 
     Returns ``((mean_loss, aux), grads)``.
     """
@@ -181,7 +186,9 @@ def accum_value_and_grad(loss_fn, params, data, rng, rounds: int):
             aux[k] = jnp.mean(aux[k])
     for k in ('moving_stats', 'pl_mean'):
         if k in aux:
-            aux[k] = jax.tree_util.tree_map(lambda x: x[-1], aux[k])
+            # mean over rounds == one full-batch EMA update (see docstring)
+            aux[k] = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0),
+                                            aux[k])
     return (jnp.mean(loss_seq), aux), gsum
 
 

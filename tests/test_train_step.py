@@ -232,3 +232,35 @@ def test_global_d_remat_switch_is_semantics_neutral(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(out['1'][1]),
                     jax.tree_util.tree_leaves(out['0'][1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_accum_rounds_ema_aux_matches_full_batch():
+    """Averaging per-round EMA outputs across accumulation rounds equals the
+    single full-batch EMA update exactly (linearity — accum_value_and_grad
+    docstring): microbatching must not slow or skew w_avg/pl_mean tracking
+    relative to the reference's canonical 1-round config."""
+    from montage_gan_tpu.training.train_step import accum_value_and_grad
+
+    beta = 0.995
+    w0 = jnp.asarray([2.0, -1.0, 0.5])
+
+    def loss_fn(params, data, rng):
+        m = jnp.mean(data, axis=0)
+        aux = {'moving_stats': {'w_avg': beta * w0 + (1 - beta) * m},
+               'pl_mean': w0[0] + 0.01 * (jnp.mean(data) - w0[0]),
+               'stats': {'x': jnp.mean(data)}}
+        return jnp.sum(params * m), aux
+
+    params = jnp.ones(3)
+    data = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    (_, aux1), g1 = accum_value_and_grad(loss_fn, params, data,
+                                         jax.random.PRNGKey(1), rounds=1)
+    (_, aux4), g4 = accum_value_and_grad(loss_fn, params, data,
+                                         jax.random.PRNGKey(1), rounds=4)
+    np.testing.assert_allclose(np.asarray(aux4['moving_stats']['w_avg']),
+                               np.asarray(aux1['moving_stats']['w_avg']),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(aux4['pl_mean']), float(aux1['pl_mean']),
+                               rtol=1e-6)
+    # gradients of a mean-of-means loss sum over rounds (reference contract)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(g1) * 4, rtol=1e-5)
