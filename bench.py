@@ -163,9 +163,20 @@ def main():
             time_phases=(i == len(WARMUP_STEP_IDXS) - 1))
         sync(state)
         _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
+    # per-phase achieved FLOP/s against the analytic per-program model
+    # (phase names match utils/flops.phase_flops keys) — this is the
+    # optimization dashboard: the phase with the worst TF/s is the target
+    from montage_gan_tpu.utils.flops import phase_flops
+    pf = phase_flops(cfg, hyper, step_idx=WARMUP_STEP_IDXS[-1])
     for k, v in sorted(stats.items()):
         if k.startswith('Timing/'):
-            _log(f"{k}: {float(v):.2f}s")
+            name = k[len('Timing/'):]
+            if name in pf and float(v) > 0:
+                rate = pf[name] / float(v) / 1e12
+                _log(f"{k}: {float(v):.2f}s  "
+                     f"({pf[name] / 1e12:.1f} TFLOP → {rate:.1f} TF/s)")
+            else:
+                _log(f"{k}: {float(v):.2f}s")
 
     sync(state)  # drain warmup before opening the timed window
 

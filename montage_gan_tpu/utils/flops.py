@@ -128,61 +128,118 @@ def renderer_fwd(cfg: MontageConfig, batch: int) -> float:
     return total
 
 
+def local_phase_flops(cfg: MontageConfig, hyper, layer_idx: int, *,
+                      include_greg: bool = False,
+                      include_dreg: bool = False) -> float:
+    """FLOPs of ONE execution of layer ``layer_idx``'s merged local program
+    (Gmain + Dmain, plus the PL/R1 reg phases when their ``lax.cond`` masks
+    fire).  Per-event — no interval amortization (the executor runs this as
+    ``Timing/local_<name>``, training/phase_exec.py:381-392)."""
+    b = hyper.batch_size
+    n = cfg.num_layers
+    map_f = mapping_fwd(cfg, b, n if cfg.use_global_mapping else 1)
+    init_res, res = cfg.layer_geometry(layer_idx)
+    g_f = synthesis_fwd(cfg, layer_idx, b)
+    d_f = discriminator_fwd(cfg, b, cfg.layer_targets[layer_idx], res,
+                            init_res)
+    # Gmain: diff(map+G) fwd+bwd, frozen D fwd + input-bwd
+    total = 3 * (map_f + g_f) + 2 * d_f
+    # Dmain: frozen G fwd, D fwd+bwd on fake AND real
+    total += (map_f + g_f) + 2 * 3 * d_f
+    if include_greg:
+        # Greg (PL): shrunk batch, double backward over map+G
+        shrink = max(hyper.pl_batch_shrink, 1)
+        total += 3 * 3 * (map_f + g_f) / shrink
+    if include_dreg:
+        # Dreg (R1): double backward over D on reals
+        total += 3 * 3 * d_f
+    return total
+
+
+def tail_phase_flops(cfg: MontageConfig, hyper) -> dict:
+    """Per-EVENT FLOPs of the global/renderer tail phases, keyed by the
+    executor's ``Timing/<name>`` phase names (phase_exec.py:416-433)."""
+    b = hyper.batch_size
+    n = cfg.num_layers
+    map_f = mapping_fwd(cfg, b, n if cfg.use_global_mapping else 1)
+    all_g = sum(synthesis_fwd(cfg, i, b) for i in range(n))
+    stn_f = stn_fwd(cfg, b)
+    ren_f = renderer_fwd(cfg, b)
+    gd_f = discriminator_fwd(cfg, b,
+                             (cfg.base_resolution, cfg.base_resolution),
+                             cfg.base_resolution, cfg.base_init_res)
+    return {
+        # renderer phase (losses.renderer_loss): frozen G-chain fwd to make
+        # the gen stack + renderer fwd+bwd on gen AND real stacks
+        'Renderer': n * map_f + all_g + stn_f + 2 * 3 * ren_f,
+        # global Gmain: diff(9×map + 9×G + STN) fwd+bwd, frozen
+        # renderer+D fwd + input-bwd
+        'global_Gmain': 3 * (n * map_f + all_g + stn_f) + 2 * (ren_f + gd_f),
+        # global Dmain: frozen G-chain fwd; frozen renderer fwd on fake AND
+        # real stacks (no renderer bwd needed — D's param grads stop at D's
+        # own input); D fwd+bwd on both
+        'global_Dmain': (n * map_f + all_g + stn_f) + 2 * ren_f
+                        + 2 * 3 * gd_f,
+        # global Dreg (R1): double backward through renderer+augment+D
+        'global_Dreg': 3 * 3 * (ren_f + gd_f),
+    }
+
+
+def phase_flops(cfg: MontageConfig, hyper, step_idx: int = 0) -> dict:
+    """FLOPs of every phase program the PhaseExecutor dispatches at
+    ``step_idx``, keyed exactly like its ``Timing/<name>`` stats — divide a
+    measured phase wall-time by its entry to get achieved FLOP/s."""
+    do_greg = (hyper.g_reg_interval is not None and hyper.pl_weight != 0
+               and step_idx % hyper.g_reg_interval == 0)
+    do_dreg = (hyper.d_reg_interval is not None and hyper.r1_gamma != 0
+               and step_idx % hyper.d_reg_interval == 0)
+    out = {}
+    if hyper.train_local:
+        for i, name in enumerate(cfg.layer_names):
+            out[f'local_{name}'] = local_phase_flops(
+                cfg, hyper, i, include_greg=do_greg, include_dreg=do_dreg)
+    tail = tail_phase_flops(cfg, hyper)
+    if hyper.train_renderer and cfg.renderer_type != 'none':
+        out['Renderer'] = tail['Renderer']
+    if hyper.train_global and cfg.train_global:
+        goi = max(hyper.global_optimize_interval, 1)
+        if step_idx % goi == 0:
+            out['global_Gmain'] = tail['global_Gmain']
+            out['global_Dmain'] = tail['global_Dmain']
+            if (hyper.d_reg_interval is not None
+                    and hyper.global_r1_gamma != 0
+                    and step_idx % (hyper.d_reg_interval * goi) == 0):
+                out['global_Dreg'] = tail['global_Dreg']
+    return out
+
+
 def train_step_flops(cfg: MontageConfig, hyper) -> float:
     """Amortized FLOPs of ONE AIO training step at batch ``hyper.batch_size``
     (lazy-reg phases divided by their intervals, mirroring
     training/train_step.py and reference custom/loss_aio.py)."""
-    b = hyper.batch_size
     n = cfg.num_layers
-    map_f = mapping_fwd(cfg, b, n if cfg.use_global_mapping else 1)
     total = 0.0
 
     if hyper.train_local:
         for i in range(n):
-            init_res, res = cfg.layer_geometry(i)
-            g_f = synthesis_fwd(cfg, i, b)
-            d_f = discriminator_fwd(cfg, b, cfg.layer_targets[i], res,
-                                    init_res)
-            # Gmain: diff(map+G) fwd+bwd, frozen D fwd + input-bwd
-            total += 3 * (map_f + g_f) + 2 * d_f
-            # Greg (PL): shrunk batch, double backward over map+G
+            base = local_phase_flops(cfg, hyper, i)
+            total += base
             if hyper.g_reg_interval and hyper.pl_weight:
-                shrink = max(hyper.pl_batch_shrink, 1)
-                total += (3 * 3 * (map_f + g_f) / shrink
-                          ) / hyper.g_reg_interval
-            # Dmain: frozen G fwd, D fwd+bwd on fake AND real
-            total += (map_f + g_f) + 2 * 3 * d_f
-            # Dreg (R1): double backward over D on reals
+                total += (local_phase_flops(cfg, hyper, i, include_greg=True)
+                          - base) / hyper.g_reg_interval
             if hyper.d_reg_interval and hyper.r1_gamma:
-                total += 3 * 3 * d_f / hyper.d_reg_interval
+                total += (local_phase_flops(cfg, hyper, i, include_dreg=True)
+                          - base) / hyper.d_reg_interval
 
+    tail = tail_phase_flops(cfg, hyper)
     if hyper.train_global and cfg.train_global:
         goi = max(hyper.global_optimize_interval, 1)
-        all_g = sum(synthesis_fwd(cfg, i, b) for i in range(n))
-        stn_f = stn_fwd(cfg, b)
-        ren_f = renderer_fwd(cfg, b)
-        gd_f = discriminator_fwd(cfg, b,
-                                 (cfg.base_resolution, cfg.base_resolution),
-                                 cfg.base_resolution, cfg.base_init_res)
-        # global Gmain: diff(9×map + 9×G + STN) fwd+bwd, frozen
-        # renderer+D fwd + input-bwd
-        total += (3 * (n * map_f + all_g + stn_f)
-                  + 2 * (ren_f + gd_f)) / goi
-        # global Dmain: frozen G-chain fwd; frozen renderer fwd on fake AND
-        # real stacks (no renderer bwd needed — D's param grads stop at D's
-        # own input); D fwd+bwd on both
-        total += ((n * map_f + all_g + stn_f) + 2 * ren_f
-                  + 2 * 3 * gd_f) / goi
-        # global Dreg (R1): double backward through renderer+augment+D
+        total += (tail['global_Gmain'] + tail['global_Dmain']) / goi
         if hyper.d_reg_interval and hyper.global_r1_gamma:
-            total += 3 * 3 * (ren_f + gd_f) / (hyper.d_reg_interval * goi)
+            total += tail['global_Dreg'] / (hyper.d_reg_interval * goi)
 
     if hyper.train_renderer and cfg.renderer_type != 'none':
-        # renderer phase (losses.renderer_loss): frozen G-chain fwd to make
-        # the gen stack + renderer fwd+bwd on gen AND real stacks
-        all_g = sum(synthesis_fwd(cfg, i, b) for i in range(n))
-        total += (n * map_f + all_g + stn_fwd(cfg, b)
-                  + 2 * 3 * renderer_fwd(cfg, b))
+        total += tail['Renderer']
 
     return total
 

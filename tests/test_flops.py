@@ -135,3 +135,47 @@ def test_train_step_flops_scale():
     assert 1.2e14 < total < 2.2e14, total / 1e12
     # speed-of-light on v5e must be far above the bogus round-1 number
     assert total / F.PEAK_BF16_FLOPS['v5e'] > 0.6  # > 600 ms/step
+
+
+@pytest.mark.quick
+def test_phase_flops_consistent_with_total():
+    """phase_flops (per-event, executor Timing keys) must recompose into the
+    amortized train_step_flops exactly: sum the non-reg step, add each reg
+    phase's increment divided by its interval."""
+    from montage_gan_tpu.training.train_step import TrainHyper
+    from montage_gan_tpu.utils.flops import (local_phase_flops, phase_flops,
+                                             tail_phase_flops,
+                                             train_step_flops)
+    cfg = MontageConfig()
+    hyper = TrainHyper(batch_size=8, augment=None)
+
+    base = phase_flops(cfg, hyper, step_idx=1)  # no regs, no global tick?
+    # step 1: locals only + Renderer (goi default may be 1 — derive from keys)
+    total = train_step_flops(cfg, hyper)
+
+    # recompose: non-reg locals + amortized reg increments + tail
+    recomposed = 0.0
+    for i in range(cfg.num_layers):
+        b0 = local_phase_flops(cfg, hyper, i)
+        recomposed += b0
+        if hyper.g_reg_interval and hyper.pl_weight:
+            recomposed += (local_phase_flops(cfg, hyper, i, include_greg=True)
+                           - b0) / hyper.g_reg_interval
+        if hyper.d_reg_interval and hyper.r1_gamma:
+            recomposed += (local_phase_flops(cfg, hyper, i, include_dreg=True)
+                           - b0) / hyper.d_reg_interval
+    tail = tail_phase_flops(cfg, hyper)
+    goi = max(hyper.global_optimize_interval, 1)
+    recomposed += (tail['global_Gmain'] + tail['global_Dmain']) / goi
+    if hyper.d_reg_interval and hyper.global_r1_gamma:
+        recomposed += tail['global_Dreg'] / (hyper.d_reg_interval * goi)
+    recomposed += tail['Renderer']
+    assert abs(recomposed - total) / total < 1e-12
+
+    # every executor phase at a reg step has a FLOPs entry, keyed identically
+    reg_step = phase_flops(cfg, hyper, step_idx=0)
+    assert set(f'local_{n}' for n in cfg.layer_names) <= set(reg_step)
+    assert {'Renderer', 'global_Gmain', 'global_Dmain'} <= set(reg_step)
+    # reg-step local programs cost strictly more than non-reg ones
+    for n in cfg.layer_names:
+        assert reg_step[f'local_{n}'] > base[f'local_{n}']
