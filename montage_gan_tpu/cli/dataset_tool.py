@@ -70,18 +70,31 @@ def _iter_mnist(src):
 
 
 def _iter_lmdb(src):
-    """LSUN LMDB archive (reference: dataset_tool.py:118-144); requires the
-    `lmdb` package (gated — see docs/GAPS.md)."""
+    """LSUN LMDB archive (reference: dataset_tool.py:118-144).  Uses the
+    `lmdb` package when present; otherwise falls back to the pure-Python
+    read-only walker (data/lmdb_reader.py) — no native dependency needed
+    for ingestion."""
     import io
-    import lmdb
     from PIL import Image
-    with lmdb.open(src, readonly=True, lock=False).begin(write=False) as txn:
-        for _key, value in txn.cursor():
-            try:
-                img = Image.open(io.BytesIO(value))
-                yield np.asarray(img.convert('RGB')), None
-            except OSError:
-                continue
+
+    def records():
+        try:
+            import lmdb
+        except ImportError:
+            from ..data.lmdb_reader import LMDBReader
+            with LMDBReader(src) as reader:
+                yield from reader.items()
+            return
+        with lmdb.open(src, readonly=True,
+                       lock=False).begin(write=False) as txn:
+            yield from txn.cursor()
+
+    for _key, value in records():
+        try:
+            img = Image.open(io.BytesIO(value))
+            yield np.asarray(img.convert('RGB')), None
+        except OSError:
+            continue
 
 
 def _transform(img: np.ndarray, transform: Optional[str],
@@ -156,14 +169,8 @@ def main(source, dest, source_type, transform, width, height, max_images):
         return
 
     if source_type == 'lmdb':
-        # reference dataset_tool.py:118 (LSUN archives); the lmdb package is
-        # not available in this image — gated, see docs/GAPS.md
-        try:
-            import lmdb  # noqa: F401
-        except ImportError:
-            raise click.UsageError(
-                'LMDB ingestion requires the `lmdb` package, which is not '
-                'available in this environment (docs/GAPS.md)')
+        # reference dataset_tool.py:118 (LSUN archives); works without the
+        # lmdb package via data/lmdb_reader.py
         iterator = _iter_lmdb(source)
     else:
         iterator = {'folder': _iter_folder, 'zip': _iter_zip,
