@@ -70,6 +70,26 @@ WARMUP_STEP_IDXS = (4, 1, 2)
 MEASURE_STEPS = 32  # two full D-reg intervals → amortized lazy-reg cost included
 
 
+def phase_report(stats, cfg, hyper, step_idx):
+    """Per-phase achieved FLOP/s lines against the analytic per-program
+    model (phase names match utils/flops.phase_flops keys) — the
+    optimization dashboard: the phase with the worst TF/s is the target."""
+    from montage_gan_tpu.utils.flops import phase_flops
+    pf = phase_flops(cfg, hyper, step_idx=step_idx)
+    lines = []
+    for k, v in sorted(stats.items()):
+        if not k.startswith('Timing/'):
+            continue
+        name = k[len('Timing/'):]
+        if name in pf and float(v) > 0:
+            rate = pf[name] / float(v) / 1e12
+            lines.append(f"{k}: {float(v):.2f}s  "
+                         f"({pf[name] / 1e12:.1f} TFLOP → {rate:.1f} TF/s)")
+        else:
+            lines.append(f"{k}: {float(v):.2f}s")
+    return lines
+
+
 def main():
     from montage_gan_tpu.data.synthetic import synthetic_batch
     from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
@@ -163,20 +183,8 @@ def main():
             time_phases=(i == len(WARMUP_STEP_IDXS) - 1))
         sync(state)
         _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
-    # per-phase achieved FLOP/s against the analytic per-program model
-    # (phase names match utils/flops.phase_flops keys) — this is the
-    # optimization dashboard: the phase with the worst TF/s is the target
-    from montage_gan_tpu.utils.flops import phase_flops
-    pf = phase_flops(cfg, hyper, step_idx=WARMUP_STEP_IDXS[-1])
-    for k, v in sorted(stats.items()):
-        if k.startswith('Timing/'):
-            name = k[len('Timing/'):]
-            if name in pf and float(v) > 0:
-                rate = pf[name] / float(v) / 1e12
-                _log(f"{k}: {float(v):.2f}s  "
-                     f"({pf[name] / 1e12:.1f} TFLOP → {rate:.1f} TF/s)")
-            else:
-                _log(f"{k}: {float(v):.2f}s")
+    for line in phase_report(stats, cfg, hyper, WARMUP_STEP_IDXS[-1]):
+        _log(line)
 
     sync(state)  # drain warmup before opening the timed window
 

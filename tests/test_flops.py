@@ -179,3 +179,34 @@ def test_phase_flops_consistent_with_total():
     # reg-step local programs cost strictly more than non-reg ones
     for n in cfg.layer_names:
         assert reg_step[f'local_{n}'] > base[f'local_{n}']
+
+
+@pytest.mark.quick
+def test_bench_phase_report_covers_executor_timing_keys():
+    """bench.phase_report must map every Timing/<phase> key the
+    PhaseExecutor emits at the bench config to an analytic FLOPs entry
+    (ema_ada excepted — elementwise only), so the driver's round-end bench
+    prints a full per-phase TF/s dashboard instead of crashing or silently
+    skipping phases."""
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import bench
+    from montage_gan_tpu.training.train_step import TrainHyper
+
+    cfg = MontageConfig()
+    hyper = TrainHyper(batch_size=32, augment=None, microbatch=16,
+                       global_microbatch=8)
+    # the executor's exact Timing keys at the bench config
+    # (phase_exec.py:381-435)
+    stats = {f'Timing/local_{n}': 0.1 for n in cfg.layer_names}
+    stats.update({'Timing/Renderer': 0.1, 'Timing/global_Gmain': 0.1,
+                  'Timing/global_Dmain': 0.1, 'Timing/global_Dreg': 0.1,
+                  'Timing/ema_ada': 0.01})
+    lines = bench.phase_report(stats, cfg, hyper,
+                               bench.WARMUP_STEP_IDXS[-1])
+    assert len(lines) == len(stats)
+    # every compute phase (≠ ema_ada, ≠ the reg-only program when this
+    # step_idx skips regs) carries a TF/s figure
+    no_rate = [ln for ln in lines if 'TF/s' not in ln]
+    assert all(('ema_ada' in ln) or ('global_Dreg' in ln) for ln in no_rate), \
+        no_rate
