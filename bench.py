@@ -35,26 +35,12 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def _retry_transient(fn, *args, tries=4, wait_s=60.0, **kwargs):
-    """Run ``fn``, retrying on transient transport failures (the tunneled
-    compile relay occasionally drops connections mid-run: UNAVAILABLE /
-    'Connection refused').  Phase dispatch is functional — on failure the
-    caller's state is untouched — so a bounded retry with backoff is safe.
-    Deadline-style errors that are NOT transient (OOM, compile errors)
-    re-raise immediately."""
-    for attempt in range(tries):
-        try:
-            return fn(*args, **kwargs)
-        except Exception as e:  # jax.errors.JaxRuntimeError and friends
-            msg = str(e)
-            transient = ('UNAVAILABLE' in msg or 'Connection refused' in msg
-                         or 'Connection reset' in msg or 'transport' in msg)
-            if not transient or attempt == tries - 1:
-                raise
-            _log(f"transient transport error (attempt {attempt + 1}/"
-                 f"{tries}), retrying in {wait_s:.0f}s: {msg[:200]}")
-            time.sleep(wait_s)
-            wait_s *= 2
+def _is_transient(e) -> bool:
+    """Transient tunnel/transport failure (the remote relay occasionally
+    drops connections mid-run)?  OOM / compile errors are NOT transient."""
+    msg = str(e)
+    return ('UNAVAILABLE' in msg or 'Connection refused' in msg
+            or 'Connection reset' in msg or 'transport' in msg)
 
 # Estimated reference (PyTorch, A100) train_aio throughput at cfg 'aio'.
 # The reference publishes no benchmarks (BASELINE.md); this anchor is derived
@@ -151,7 +137,14 @@ def main():
         stack01, [list(t) for t in cfg.layer_targets], to_minus11=True))
     stack = jnp.asarray(stack01 * 2.0 - 1.0)
 
-    state = jax.device_put(state)
+    # ``state`` is still the HOST copy here.  The whole run (device_put →
+    # warmup → timed window) retries as a unit on transient transport
+    # failures: the executor's phase programs DONATE their input state
+    # buffers, so after any mid-run failure the device state is
+    # unrecoverable — the only safe restart point is a fresh device_put of
+    # the initial host state.  Programs stay compiled across attempts, so a
+    # retry costs seconds, not the compile hour.
+    state_host = state
 
     # NOTE on synchronization: jax.block_until_ready can return EARLY over
     # the tunneled PJRT transport (observed in round 1 — it made the bench
@@ -162,45 +155,60 @@ def main():
     def sync(st):
         return float(jax.device_get(jnp.sum(st.pl_mean) + st.step))
 
-    _log("compiling + running first step (this warms all phase programs)...")
-    step_idx = 0
-    t_compile = time.time()
-    state, stats = _retry_transient(
-        executor.step, state, stack, crops, jax.random.PRNGKey(1),
-        step_idx=step_idx)
-    step_idx += 1
-    sync(state)
-    compile_s = time.time() - t_compile
-    _log(f"first step (compile+run): {compile_s:.0f}s")
-
-    # warm every reg-interval program variant (steps where R1/PL do and
-    # don't run) so the timed window sees zero compiles/cache loads
-    for i, widx in enumerate(WARMUP_STEP_IDXS):
-        t0 = time.time()
-        state, stats = _retry_transient(
-            executor.step, state, stack, crops, jax.random.PRNGKey(2 + i),
-            step_idx=widx,
-            time_phases=(i == len(WARMUP_STEP_IDXS) - 1))
-        sync(state)
-        _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
-    for line in phase_report(stats, cfg, hyper, WARMUP_STEP_IDXS[-1]):
-        _log(line)
-
-    sync(state)  # drain warmup before opening the timed window
-
-    t0 = time.time()
-    for i in range(MEASURE_STEPS):
-        state, stats = _retry_transient(
-            executor.step, state, stack, crops, jax.random.PRNGKey(100 + i),
-            step_idx=step_idx)
+    def run_once():
+        state = jax.device_put(state_host)
+        _log("compiling + running first step (warms all phase programs)...")
+        step_idx = 0
+        t_compile = time.time()
+        state, stats = executor.step(state, stack, crops,
+                                     jax.random.PRNGKey(1),
+                                     step_idx=step_idx)
         step_idx += 1
-        # Per-step readback barrier: bounds in-flight programs to ONE step's
-        # worth.  Letting all MEASURE_STEPS dispatch asynchronously OOMs the
-        # 16G chip (their temps stack), and the readback is the only sync
-        # primitive the tunnel honors.  Costs one tunnel RTT per step —
-        # negligible against a real (not dispatch-time) step.
         sync(state)
-    dt = time.time() - t0
+        _log(f"first step (compile+run): {time.time() - t_compile:.0f}s")
+
+        # warm every reg-interval program variant (steps where R1/PL do and
+        # don't run) so the timed window sees zero compiles/cache loads
+        for i, widx in enumerate(WARMUP_STEP_IDXS):
+            t0 = time.time()
+            state, stats = executor.step(
+                state, stack, crops, jax.random.PRNGKey(2 + i),
+                step_idx=widx,
+                time_phases=(i == len(WARMUP_STEP_IDXS) - 1))
+            sync(state)
+            _log(f"warmup step idx={widx}: {time.time() - t0:.2f}s")
+        for line in phase_report(stats, cfg, hyper, WARMUP_STEP_IDXS[-1]):
+            _log(line)
+
+        sync(state)  # drain warmup before opening the timed window
+
+        t0 = time.time()
+        for i in range(MEASURE_STEPS):
+            state, stats = executor.step(state, stack, crops,
+                                         jax.random.PRNGKey(100 + i),
+                                         step_idx=step_idx)
+            step_idx += 1
+            # Per-step readback barrier: bounds in-flight programs to ONE
+            # step's worth.  Letting all MEASURE_STEPS dispatch
+            # asynchronously OOMs the 16G chip (their temps stack), and the
+            # readback is the only sync primitive the tunnel honors.  Costs
+            # one tunnel RTT per step — negligible against a real step.
+            sync(state)
+        return time.time() - t0
+
+    tries, wait_s = 3, 60.0
+    for attempt in range(tries):
+        try:
+            dt = run_once()
+            break
+        except Exception as e:
+            if not _is_transient(e) or attempt == tries - 1:
+                raise
+            _log(f"transient transport error (attempt {attempt + 1}/{tries})"
+                 f", restarting run from initial state in {wait_s:.0f}s: "
+                 f"{str(e)[:200]}")
+            time.sleep(wait_s)
+            wait_s *= 2
     _log(f"measure: {MEASURE_STEPS} steps in {dt:.2f}s "
          f"({dt / MEASURE_STEPS * 1000:.0f} ms/step)")
 

@@ -79,11 +79,17 @@ class LMDBReader:
             raise FileNotFoundError(path)
         self.path = path
         self._f = open(path, 'rb')
+        self._mm = None
         try:
-            self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
-        except ValueError:
-            raise LMDBFormatError(f'{path}: empty file')
-        self.psize, self.entries, self._root = self._read_meta()
+            try:
+                self._mm = mmap.mmap(self._f.fileno(), 0,
+                                     access=mmap.ACCESS_READ)
+            except ValueError:
+                raise LMDBFormatError(f'{path}: empty file')
+            self.psize, self.entries, self._root = self._read_meta()
+        except BaseException:
+            self.close()
+            raise
 
     # -- file structure ----------------------------------------------------
 
@@ -127,10 +133,12 @@ class LMDBReader:
         return psize, entries, root
 
     def _page(self, pgno: int) -> Tuple[int, int]:
-        """(byte offset, flags) of page ``pgno``, bounds-checked."""
+        """(byte offset, flags) of page ``pgno``, bounds-checked.  A valid
+        data file holds whole pages, so a page cut at EOF means truncation."""
         off = pgno * self.psize
-        if off + PAGEHDRSZ > len(self._mm):
-            raise LMDBFormatError(f'{self.path}: page {pgno} out of range')
+        if off + self.psize > len(self._mm):
+            raise LMDBFormatError(f'{self.path}: page {pgno} out of range '
+                                  f'(truncated file?)')
         flags, = struct.unpack_from('<H', self._mm, off + 10)
         return off, flags
 
@@ -150,19 +158,31 @@ class LMDBReader:
         nkeys = (lower - PAGEHDRSZ) >> 1
         if nkeys < 0 or lower > self.psize:
             raise LMDBFormatError(f'{self.path}: page {pgno} bad bounds')
+        page_end = off + self.psize
         for i in range(nkeys):
             ptr, = struct.unpack_from('<H', mm, off + PAGEHDRSZ + 2 * i)
             node = off + ptr
+            if ptr < PAGEHDRSZ or node + 8 > page_end:
+                raise LMDBFormatError(f'{self.path}: page {pgno} node ptr '
+                                      f'{ptr:#x} out of page bounds')
             lo, hi, nflags, ksize = struct.unpack_from('<HHHH', mm, node)
             if flags & P_BRANCH:
+                if node + 8 + ksize > page_end:
+                    raise LMDBFormatError(f'{self.path}: page {pgno} branch '
+                                          f'key out of page bounds')
                 child = lo | hi << 16 | nflags << 32
                 yield from self._iter_page(child, depth + 1)
                 continue
-            key = bytes(mm[node + 8: node + 8 + ksize])
             if nflags & F_DUPDATA:
                 raise LMDBFormatError(f'{self.path}: DUPSORT data '
                                       f'unsupported')
             datasize = lo | hi << 16
+            inline = 8 if nflags & F_BIGDATA else datasize
+            if node + 8 + ksize + inline > page_end:
+                raise LMDBFormatError(f'{self.path}: page {pgno} node '
+                                      f'content out of page bounds '
+                                      f'(truncated/corrupt file)')
+            key = bytes(mm[node + 8: node + 8 + ksize])
             if nflags & F_BIGDATA:
                 ovf_pgno, = struct.unpack_from('<Q', mm, node + 8 + ksize)
                 ovf_off, ovf_flags = self._page(ovf_pgno)
@@ -193,7 +213,8 @@ class LMDBReader:
         yield from self._iter_page(self._root, 0)
 
     def close(self):
-        self._mm.close()
+        if self._mm is not None:
+            self._mm.close()
         self._f.close()
 
     def __enter__(self):

@@ -51,8 +51,10 @@ def _merge_stats(stats, new):
 def _accum_vag(loss_fn, params, data, rng, rounds: int):
     """value_and_grad with gradient accumulation over microbatch rounds —
     positional-args adapter over train_step.accum_value_and_grad (the single
-    source of the SUM-grads / mean-stats / keep-last-moving-stats contract,
-    reference custom/loss_aio.py:52-63 + training_loop_aio.py:620-627).
+    source of the SUM-grads / mean-stats / mean-EMA-aux contract — averaging
+    the per-round EMA outputs equals one full-batch EMA update by linearity,
+    see its docstring; reference custom/loss_aio.py:52-63 +
+    training_loop_aio.py:620-627).
 
     ``loss_fn(*params, *data, rng) → (loss, aux)``; returns
     ``((loss, aux), grads_tuple)`` with one gradient per params entry.

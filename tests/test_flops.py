@@ -188,8 +188,10 @@ def test_bench_phase_report_covers_executor_timing_keys():
     (ema_ada excepted — elementwise only), so the driver's round-end bench
     prints a full per-phase TF/s dashboard instead of crashing or silently
     skipping phases."""
+    import os
     import sys
-    sys.path.insert(0, '/root/repo')
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import bench
     from montage_gan_tpu.training.train_step import TrainHyper
 

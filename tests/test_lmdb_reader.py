@@ -259,3 +259,18 @@ def test_dataset_tool_lmdb_source(tmp_path):
     with zipfile.ZipFile(dest) as zf:
         imgs = [n for n in zf.namelist() if n.endswith('.png')]
         assert len(imgs) == 4
+
+
+def test_truncated_file_raises_not_silently_truncates(tmp_path):
+    """A data.mdb cut mid-page (partial download) must raise, not yield
+    clamped/truncated values that downstream image decoding would silently
+    skip."""
+    items = [(b'%03d' % i, bytes([i]) * 200) for i in range(60)]
+    path = _write_env(tmp_path, items)
+    data = os.path.join(path, 'data.mdb')
+    size = os.path.getsize(data)
+    with open(data, 'r+b') as f:
+        f.truncate(size - PSIZE // 2)  # cut the last page in half
+    with LMDBReader(path) as r:
+        with pytest.raises(LMDBFormatError, match='truncated|out of range'):
+            list(r.items())
