@@ -19,6 +19,7 @@ def _register():
     from .cli.compare_renderers import main as compare_renderers
     from .cli.convert_pickle import main as convert_pickle
     from .cli.dataset_tool import main as dataset_tool
+    from .cli.export_model import main as export_model
     from .cli.generate import main as generate
     from .cli.pretrain_renderer import main as pretrain_renderer
     from .cli.pretrain_stn import main as pretrain_stn
@@ -34,6 +35,7 @@ def _register():
                       ('style-mixing', style_mixing),
                       ('calc-metrics', calc_metrics),
                       ('dataset-tool', dataset_tool),
+                      ('export-model', export_model),
                       ('pretrain-renderer', pretrain_renderer),
                       ('pretrain-stn', pretrain_stn),
                       ('compare-renderers', compare_renderers),

@@ -48,9 +48,7 @@ def main(network_path, seeds, truncation_psi, noise_mode, outdir,
     import jax.numpy as jnp
     from PIL import Image
 
-    from ..ops.composite import alpha_composite
     from ..utils.checkpoint import load_ema_snapshot
-    from ..utils.image_utils import normalize_zero1
 
     os.makedirs(outdir, exist_ok=True)
 
@@ -79,29 +77,17 @@ def main(network_path, seeds, truncation_psi, noise_mode, outdir,
 
     cfg, ens, tree = load_ema_snapshot(network_path)
 
-    @jax.jit
-    def sample(z, rng):
-        if cfg.train_global:
-            placed, _ = ens.run_global_g(tree, z, noise_rng=rng,
-                                         noise_mode=noise_mode,
-                                         truncation_psi=truncation_psi)
-        else:
-            ws = ens.mapping.apply(tree['mapping'], z,
-                                   truncation_psi=truncation_psi)
-            placed = ens.synthesize_layers(tree, ws, noise_rng=rng,
-                                           noise_mode=noise_mode)
-        placed = jnp.clip(placed, -1, 1)
-        if composite == 'renderer' and 'renderer' in tree:
-            img = normalize_zero1(ens.renderer.apply(tree['renderer'], placed))
-        else:
-            img = alpha_composite(normalize_zero1(placed))
-        return placed, img
+    # the same composition the serving exporter freezes (utils/serving.py)
+    from ..utils.serving import build_inference_fn
+    sample = jax.jit(build_inference_fn(
+        cfg, ens, tree, truncation_psi=truncation_psi,
+        noise_mode=noise_mode, composite=composite))
 
     for seed in seeds:
         print(f'Generating image for seed {seed} ...')
         z = jnp.asarray(np.random.RandomState(seed).randn(1, cfg.z_dim),
                         dtype=jnp.float32)
-        placed, img = sample(z, jax.random.PRNGKey(seed))
+        placed, img = sample(z, jnp.uint32(seed))
         rgba = (np.clip(np.asarray(img[0]), 0, 1) * 255 + 0.5).astype(np.uint8)
         Image.fromarray(rgba, 'RGBA').save(f'{outdir}/seed{seed:04d}.png')
         if save_layers:
