@@ -120,11 +120,18 @@ def next_run_dir(outdir: str, desc: str) -> str:
               help='Write a profiler trace of a few post-warmup steps')
 @click.option('--save-all-layers', is_flag=True, default=False)
 @click.option('--run-latent-interpolation', is_flag=True, default=False)
+@click.option('--coordinator', default=None, metavar='HOST:PORT',
+              help='Multi-host: jax.distributed coordinator (or set '
+                   'JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / '
+                   'JAX_PROCESS_ID); one process per host, each sees the '
+                   'global mesh')
 def main(**kwargs):
     """Train MontageGAN all-in-one on TPU."""
     opts = EasyDict(kwargs)
     from ..utils.platform import select_platform
     select_platform()
+    from ..parallel.distributed import maybe_initialize
+    maybe_initialize(opts.pop('coordinator'))  # before any device query
     import jax
 
     n_dev = opts.num_devices or len(jax.devices())

@@ -143,7 +143,10 @@ class MontageEnsemble:
         compile budget should go to the jitted train/sample step instead.
         """
         if on_cpu:
-            cpu = jax.devices('cpu')[0]
+            # local_devices, not devices: in multi-process runs the global
+            # device list leads with process 0's devices — placing init on
+            # another host's device yields non-addressable arrays
+            cpu = jax.local_devices(backend='cpu')[0]
             with jax.default_device(cpu):
                 return self.init_variables(key, batch=batch, on_cpu=False)
         cfg = self.cfg

@@ -47,8 +47,26 @@ def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate ``tree`` across the mesh.
+
+    On a multi-process mesh a plain device_put cannot target other hosts'
+    devices; instead every process contributes its own (identical) full
+    copy via ``make_array_from_process_local_data``.  Caller contract on
+    multi-host: the value must be process-identical — true for state built
+    from a shared seed or restored from the same checkpoint (the same
+    assumption the reference's DDP broadcast establishes,
+    custom/training_loop_aio.py:393-400)."""
     s = replicated_sharding(mesh)
+    if _spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 

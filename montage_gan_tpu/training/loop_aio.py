@@ -27,6 +27,7 @@ import numpy as np
 from ..data.dataset import DatasetAIO
 from ..data.sampler import InfiniteSampler
 from ..models.ensemble import MontageConfig, MontageEnsemble
+from ..parallel.distributed import process_info, shard_host_batch
 from ..parallel.mesh import (make_mesh, make_parallel_train_step, replicate,
                              shard_batch)
 from ..utils import checkpoint as ckpt
@@ -164,8 +165,18 @@ def training_loop(
         hyper = TrainHyper()
     metrics = metrics or []
 
-    with open(os.path.join(run_dir, 'montage_gan_options.json'), 'w') as f:
-        json.dump({'config': str(cfg), 'hyper': str(hyper)}, f, indent=2)
+    # multi-host: each process runs this loop over the GLOBAL mesh with its
+    # own rank's sampler stride; filesystem outputs are primary-only (the
+    # reference's rank==0 gates, custom/training_loop_aio.py:521,700)
+    rank, nproc = process_info()
+    primary = rank == 0
+    assert hyper.batch_size % max(nproc, 1) == 0, \
+        f"batch {hyper.batch_size} must divide over {nproc} processes"
+
+    if primary:
+        with open(os.path.join(run_dir, 'montage_gan_options.json'),
+                  'w') as f:
+            json.dump({'config': str(cfg), 'hyper': str(hyper)}, f, indent=2)
 
     ens = MontageEnsemble(cfg)
     trainer = MontageTrainer(ens, hyper)
@@ -203,17 +214,22 @@ def training_loop(
         _pstep = make_parallel_train_step(trainer, mesh)
         step_fn = lambda s, a, b, r, time_phases=False: _pstep(s, a, b, r)  # noqa: E731
 
-    prefetcher = BatchPrefetcher(dataset, hyper.batch_size,
-                                 cfg.layer_targets, seed=random_seed)
+    # each process loads ONLY its slice of the global batch, on its rank's
+    # stride of the shared deterministic sampler stream
+    prefetcher = BatchPrefetcher(dataset, hyper.batch_size // max(nproc, 1),
+                                 cfg.layer_targets, seed=random_seed,
+                                 rank=rank, num_replicas=max(nproc, 1))
 
     # reals preview + fixed grid z (reference: training_loop_aio.py:521-534)
     grid_size = min(32, hyper.batch_size)
     grid_z = np.asarray(
         jax.random.normal(jax.random.PRNGKey(random_seed + 1),
                           (grid_size, cfg.z_dim)))
-    preview = np.stack([dataset[i % len(dataset)] for i in range(grid_size)])
-    save_image_grid(alpha_composite_np(preview),
-                    os.path.join(run_dir, 'reals.png'), nrow=8)
+    if primary:
+        preview = np.stack([dataset[i % len(dataset)]
+                            for i in range(grid_size)])
+        save_image_grid(alpha_composite_np(preview),
+                        os.path.join(run_dir, 'reals.png'), nrow=8)
 
     sample_fn = jax.jit(lambda variables, z: ens.run_global_g(
         variables, z, noise_mode='const')[0]) if cfg.train_global else \
@@ -223,8 +239,9 @@ def training_loop(
 
     acc = StatsAccumulator()
     collector = Collector(acc)
-    jsonl = JsonlWriter(os.path.join(run_dir, 'stats.jsonl'))
-    tb = make_tensorboard_writer(run_dir)
+    jsonl = JsonlWriter(os.path.join(run_dir, 'stats.jsonl')) \
+        if primary else None
+    tb = make_tensorboard_writer(run_dir) if primary else None
 
     cur_nimg = int(resume_kimg * 1000)
     cur_tick = 0
@@ -243,8 +260,14 @@ def training_loop(
         # ---- one training iteration -----------------------------------
         t0 = time.time()
         stack_np, crops_np = prefetcher.next()
-        stack = shard_batch(mesh, jnp.asarray(stack_np))
-        crops = shard_batch(mesh, tuple(jnp.asarray(c) for c in crops_np))
+        if nproc > 1:
+            # host-local slice → globally batch-sharded arrays
+            stack = shard_host_batch(mesh, stack_np)
+            crops = shard_host_batch(mesh, tuple(crops_np))
+        else:
+            stack = shard_batch(mesh, jnp.asarray(stack_np))
+            crops = shard_batch(mesh, tuple(jnp.asarray(c)
+                                            for c in crops_np))
         acc.report('Timing/data_fetch', time.time() - t0)
 
         # profiler window (reference region annotation / per-phase events,
@@ -296,8 +319,10 @@ def training_loop(
             done = True
             print('Aborting...')
 
-        # image snapshot (EMA samples, reference :750-766)
-        if image_snapshot_ticks is not None and \
+        # image snapshot (EMA samples, reference :750-766) — primary-only:
+        # state is fully replicated, so device_get is host-local everywhere
+        # and only one process needs to render/write
+        if primary and image_snapshot_ticks is not None and \
                 (done or cur_tick % image_snapshot_ticks == 0):
             host_state = jax.device_get(state)
             ema_vars = dict(host_state.ema)
@@ -352,7 +377,7 @@ def training_loop(
 
         # network snapshot
         snapshot_path = None
-        if network_snapshot_ticks is not None and \
+        if primary and network_snapshot_ticks is not None and \
                 (done or cur_tick % network_snapshot_ticks == 0):
             host_state = jax.device_get(state)
             snapshot_path = ckpt.save_train_state(run_dir, cur_nimg // 1000,
@@ -365,7 +390,7 @@ def training_loop(
 
         # metrics on the EMA ensemble (reference: training_loop_aio.py:837-857;
         # like the reference, requires the global path — FID needs the STN)
-        if metrics and cfg.train_global and \
+        if primary and metrics and cfg.train_global and \
                 (done or (network_snapshot_ticks is not None
                           and cur_tick % network_snapshot_ticks == 0)):
             from ..metrics import metric_main
@@ -426,7 +451,8 @@ def training_loop(
                         acc.report_dict(result)
 
         collector.update()
-        jsonl.write(collector.as_dict(), timestamp=time.time())
+        if jsonl is not None:
+            jsonl.write(collector.as_dict(), timestamp=time.time())
         if tb is not None:
             for name, v in collector.as_dict().items():
                 tb.add_scalar(name, v.mean, global_step=int(cur_nimg / 1e3))
@@ -445,6 +471,7 @@ def training_loop(
             break
 
     prefetcher.stop()
-    jsonl.close()
+    if jsonl is not None:
+        jsonl.close()
     print('Exiting...')
     return jax.device_get(state)

@@ -246,7 +246,10 @@ class MontageTrainer:
         backend — on accelerators behind a remote-compile relay, eager init
         ops are pathologically slow; transfer happens at first step."""
         if on_cpu:
-            cpu = jax.devices('cpu')[0]
+            # local_devices, not devices: in a multi-process run the global
+            # list starts with process 0's devices, and placing init work on
+            # another host's device yields non-addressable arrays here
+            cpu = jax.local_devices(backend='cpu')[0]
             with jax.default_device(cpu):
                 return self.init_state(rng, batch=batch, on_cpu=False)
         ens, hyper = self.ens, self.hyper
