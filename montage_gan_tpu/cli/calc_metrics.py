@@ -24,8 +24,12 @@ import click
 @click.option('--seed', type=int, default=0)
 @click.option('--ppl-samples', type=int, default=None,
               help='PPL sample budget (default: the reference 50k)')
+@click.option('--gpus', 'num_devices', type=int, default=1,
+              help='Devices to fan metric eval out over (reference '
+                   'calc_metrics.py --gpus; here a batch-sharded mesh '
+                   'instead of DDP ranks)')
 def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
-         seed, ppl_samples):
+         seed, ppl_samples, num_devices):
     """Calculate quality metrics for a trained snapshot."""
     from ..utils.platform import select_platform
     select_platform()
@@ -38,6 +42,11 @@ def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
     from ..ops.composite import alpha_composite
     from ..utils.checkpoint import load_ema_snapshot
     from ..utils.image_utils import normalize_zero1
+
+    mesh = None
+    if num_devices > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(num_devices)
 
     metric_list = metrics.split(',')
     for m in metric_list:
@@ -93,7 +102,8 @@ def main(network_path, metrics, data, mirror, extractor, cache_dir, batch,
         result = metric_main.calc_metric(
             m, dataset=dataset, sample_fn=sample_fn, z_dim=z_dim,
             map_fn=map_fn, synth_fn=synth_ws_fn, ppl_samples=ppl_samples,
-            extractor=ext, cache_dir=cache_dir, batch_size=batch, seed=seed)
+            extractor=ext, cache_dir=cache_dir, batch_size=batch, seed=seed,
+            mesh=mesh)
         metric_main.report_metric(result, run_dir=run_dir,
                                   snapshot_pkl=network_path)
 

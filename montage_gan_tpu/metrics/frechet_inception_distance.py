@@ -19,10 +19,11 @@ def compute_fid(opts, max_real, num_gen) -> float:
     stats_real = metric_utils.compute_feature_stats_for_dataset(
         opts.dataset, opts.extractor, max_items=max_real,
         cache_dir=opts.cache_dir, capture_mean_cov=True,
-        batch_size=opts.batch_size)
+        batch_size=opts.batch_size, mesh=opts.mesh)
     stats_gen = metric_utils.compute_feature_stats_for_generator(
         opts.sample_fn, opts.z_dim, opts.extractor, num_items=num_gen,
-        capture_mean_cov=True, batch_size=opts.batch_size, seed=opts.seed)
+        capture_mean_cov=True, batch_size=opts.batch_size, seed=opts.seed,
+        mesh=opts.mesh)
     mu_r, sig_r = stats_real.get_mean_cov()
     mu_g, sig_g = stats_gen.get_mean_cov()
     return compute_fid_from_stats(mu_r, sig_r, mu_g, sig_g)

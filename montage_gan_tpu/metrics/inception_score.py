@@ -24,7 +24,8 @@ def compute_is(opts, num_gen, num_splits: int = 10):
     from . import metric_utils
     stats_gen = metric_utils.compute_feature_stats_for_generator(
         opts.sample_fn, opts.z_dim, opts.extractor, num_items=num_gen,
-        capture_all=True, batch_size=opts.batch_size, seed=opts.seed)
+        capture_all=True, batch_size=opts.batch_size, seed=opts.seed,
+        mesh=opts.mesh)
     feats = stats_gen.get_all()
     e = np.exp(feats - feats.max(axis=1, keepdims=True))
     probs = e / e.sum(axis=1, keepdims=True)

@@ -41,7 +41,7 @@ class MetricOptions(EasyDict):
     def __init__(self, dataset=None, sample_fn=None, z_dim=512,
                  extractor=None, cache_dir=None, batch_size=16, seed=0,
                  progress_fn=None, map_fn=None, synth_fn=None,
-                 ppl_samples=None):
+                 ppl_samples=None, mesh=None):
         super().__init__()
         self.dataset = dataset
         self.sample_fn = sample_fn
@@ -51,6 +51,10 @@ class MetricOptions(EasyDict):
         self.batch_size = batch_size
         self.seed = seed
         self.progress_fn = progress_fn
+        # Optional jax.sharding.Mesh: feature/sample batches are laid out
+        # batch-sharded over it (data-parallel metric eval — the reference's
+        # --gpus fan-out, calc_metrics.py:33-42)
+        self.mesh = mesh
         # The mapping/synthesis split of the generator (``map_fn(z) → ws``,
         # ``synth_fn(ws) → img [0,1]``) — required by the w-space PPL
         # variants (reference perceptual_path_length.py:57-60).
@@ -81,7 +85,8 @@ def calc_metric(metric: str, **kwargs) -> EasyDict:
     results = _metric_dict[metric](opts)
     return EasyDict(results=EasyDict(results), metric=metric,
                     total_time=time.time() - start,
-                    num_gpus=1)
+                    num_gpus=(opts.mesh.devices.size
+                              if opts.mesh is not None else 1))
 
 
 def report_metric(result_dict: EasyDict, run_dir: Optional[str] = None,
@@ -193,7 +198,7 @@ def _ppl_variant(opts, name, space, sampling, crop):
                       epsilon=1e-4, space=space,
                       sampling=sampling, crop=crop,
                       batch_size=opts.batch_size, seed=opts.seed,
-                      map_fn=map_fn, synth_fn=synth_fn)
+                      map_fn=map_fn, synth_fn=synth_fn, mesh=opts.mesh)
     return {name: ppl}
 
 

@@ -12,6 +12,13 @@ TPU-first: feature batches are device-computed; the cross-rank broadcast
 interleave (:102-112) is unnecessary in the single-program model — each host
 computes its stride and stats are combined with process_allgather when
 multi-host.
+
+Multi-chip: both feature loops accept ``mesh`` — batches are then laid out
+batch-sharded over the mesh and XLA runs the generator/extractor data-parallel
+on every device (the reference fans metric eval out with one DDP rank per GPU
+and a broadcast interleave, metrics/metric_utils.py:102-112 and
+calc_metrics.py:33-42; here a sharded device_put replaces the whole
+rendezvous).  Feature gathering back to host is the all-gather.
 """
 
 from __future__ import annotations
@@ -133,11 +140,30 @@ def _item_to_rgb(item) -> np.ndarray:
     return images_to_metric_rgb(item[None].astype(np.float32))[0]
 
 
+def _run_sharded(fn: Callable, x_np: np.ndarray, mesh) -> np.ndarray:
+    """Run ``fn`` on one batch, batch-sharded over ``mesh`` (or on the
+    default device when ``mesh`` is None).  Ragged tails are padded up to
+    the device count with repeats of the last row and the padded rows are
+    dropped from the result — feature statistics see exactly the true
+    batch."""
+    if mesh is None:
+        return np.asarray(fn(jnp.asarray(x_np)))
+    from ..parallel.mesh import batch_sharding
+    n_dev = mesh.devices.size
+    pad = (-len(x_np)) % n_dev
+    if pad:
+        x_np = np.concatenate([x_np, np.repeat(x_np[-1:], pad, axis=0)])
+    x = jax.device_put(np.asarray(x_np), batch_sharding(mesh))
+    out = np.asarray(fn(x))
+    return out[:len(out) - pad] if pad else out
+
+
 def compute_feature_stats_for_dataset(dataset,
                                       extractor,
                                       batch_size: int = 16,
                                       max_items: Optional[int] = None,
                                       cache_dir: Optional[str] = None,
+                                      mesh=None,
                                       **stats_kwargs) -> FeatureStats:
     """(reference contract: metric_utils.py:192-246)"""
     cache_file = None
@@ -157,7 +183,7 @@ def compute_feature_stats_for_dataset(dataset,
     while not stats.is_full() and i < n:
         rgb = np.stack([_item_to_rgb(dataset[j])
                         for j in range(i, min(i + batch_size, n))])
-        stats.append(np.asarray(extractor(jnp.asarray(rgb))))
+        stats.append(_run_sharded(extractor, rgb, mesh))
         i += batch_size
 
     if cache_file is not None:
@@ -172,6 +198,7 @@ def compute_feature_stats_for_generator(sample_fn: Callable[[jax.Array], jax.Arr
                                         num_items: int,
                                         batch_size: int = 16,
                                         seed: int = 0,
+                                        mesh=None,
                                         **stats_kwargs) -> FeatureStats:
     """``sample_fn(z) → [B, H, W, 4] RGBA in [0, 1]`` (the composited EMA
     ensemble output; reference contract: metric_utils.py:251-310)."""
@@ -180,9 +207,9 @@ def compute_feature_stats_for_generator(sample_fn: Callable[[jax.Array], jax.Arr
     i = 0
     while not stats.is_full():
         key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (batch_size, z_dim))
-        imgs = np.asarray(sample_fn(z))  # [B, H, W, 4|3] in [0, 1]
+        z = np.asarray(jax.random.normal(sub, (batch_size, z_dim)))
+        imgs = _run_sharded(sample_fn, z, mesh)  # [B, H, W, 4|3] in [0, 1]
         rgb = images_to_metric_rgb(imgs)
-        stats.append(np.asarray(extractor(jnp.asarray(rgb))))
+        stats.append(_run_sharded(extractor, rgb, mesh))
         i += batch_size
     return stats

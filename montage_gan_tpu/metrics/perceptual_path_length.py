@@ -69,7 +69,8 @@ def compute_ppl(sample_pair_fn: Optional[Callable] = None,
                 batch_size: int = 8,
                 seed: int = 0,
                 map_fn: Optional[Callable] = None,
-                synth_fn: Optional[Callable] = None) -> float:
+                synth_fn: Optional[Callable] = None,
+                mesh=None) -> float:
     """Args:
         map_fn / synth_fn: the split generator — ``map_fn(z) → ws`` and
             ``synth_fn(ws) → img`` (NHWC [0, 1]).  Required for space='w';
@@ -101,6 +102,15 @@ def compute_ppl(sample_pair_fn: Optional[Callable] = None,
             t = jax.random.uniform(kt, (batch_size, 1))
         else:
             t = jnp.zeros((batch_size, 1))
+        if mesh is not None:
+            # batch-sharded endpoints → the whole pair pipeline (mapping,
+            # lerp, synthesis, LPIPS distance) runs data-parallel over the
+            # mesh (the reference's per-rank PPL sampler loop,
+            # perceptual_path_length.py:121-125)
+            from ..parallel.mesh import batch_sharding
+            s = batch_sharding(mesh)
+            z0, z1, t = (jax.device_put(np.asarray(a), s)
+                         for a in (z0, z1, t))
 
         if space == 'w':
             w0, w1 = map_fn(z0), map_fn(z1)

@@ -41,10 +41,11 @@ def compute_pr(opts, max_real, num_gen, nhood_size: int = 3):
     stats_real = metric_utils.compute_feature_stats_for_dataset(
         opts.dataset, opts.extractor, max_items=max_real,
         cache_dir=opts.cache_dir, capture_all=True,
-        batch_size=opts.batch_size)
+        batch_size=opts.batch_size, mesh=opts.mesh)
     stats_gen = metric_utils.compute_feature_stats_for_generator(
         opts.sample_fn, opts.z_dim, opts.extractor, num_items=num_gen,
-        capture_all=True, batch_size=opts.batch_size, seed=opts.seed)
+        capture_all=True, batch_size=opts.batch_size, seed=opts.seed,
+        mesh=opts.mesh)
     return compute_pr_from_features(stats_real.get_all(),
                                     stats_gen.get_all(),
                                     nhood_size=nhood_size)

@@ -283,3 +283,70 @@ def test_ppl_crop_window_matches_reference():
     np.testing.assert_array_equal(
         out, np.asarray(img)[:, c * 3:c * 7, c * 2:c * 6])
     assert out.shape == (1, 8, 8, 1)
+
+
+@pytest.mark.quick
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_metric_feature_loops_on_mesh_match_single_device(tmp_path):
+    """Mesh-sharded metric eval (the reference's calc_metrics --gpus DDP
+    fan-out, calc_metrics.py:33-42) computes the same features/statistics
+    as the single-device loops — including ragged tails that need padding
+    up to the device count."""
+    from montage_gan_tpu.metrics.metric_utils import (
+        compute_feature_stats_for_dataset, compute_feature_stats_for_generator)
+    from montage_gan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    ext = RandomFeatures(seed=0, num_stages=2, width=32)
+
+    # dataset path: n=10 with batch 4 → a ragged 2-row tail (pad path)
+    path = str(tmp_path / 'layers')
+    make_synthetic_layer_dataset(path, num_samples=10, size=16,
+                                 spec=(('#1_a', (4, 4), (5, 6)),
+                                       ('#2_b', (4, 6), (6, 4))))
+    ds = DatasetAIO(path)
+    kw = dict(batch_size=4, capture_all=True, capture_mean_cov=True)
+    st_single = compute_feature_stats_for_dataset(ds, ext, **kw)
+    st_mesh = compute_feature_stats_for_dataset(ds, ext, mesh=mesh, **kw)
+    assert st_single.num_items == st_mesh.num_items == 10
+    np.testing.assert_allclose(st_mesh.get_all(), st_single.get_all(),
+                               rtol=1e-5, atol=1e-5)
+
+    # generator path: same PRNG stream → identical z draws on both paths
+    def sample_fn(z):
+        img = jnp.broadcast_to(z[:, None, None, :16],
+                               (z.shape[0], 16, 16, 16))[..., :4]
+        return jax.nn.sigmoid(img)
+
+    gkw = dict(num_items=12, batch_size=8, seed=3, capture_all=True)
+    g_single = compute_feature_stats_for_generator(sample_fn, 32, ext, **gkw)
+    g_mesh = compute_feature_stats_for_generator(sample_fn, 32, ext,
+                                                 mesh=mesh, **gkw)
+    np.testing.assert_allclose(g_mesh.get_all(), g_single.get_all(),
+                               rtol=1e-5, atol=1e-5)
+
+    # PPL end-to-end on the mesh equals the single-device run
+    from montage_gan_tpu.metrics import metric_main
+
+    class IdFeatures:
+        name = 'id'
+
+        def __call__(self, x):
+            return x.reshape(x.shape[0], -1)
+
+    def map_fn(z):
+        return jnp.tanh(z) * 2.0
+
+    def synth_fn(ws):
+        return jnp.broadcast_to(ws[:, None, None, :8],
+                                (ws.shape[0], 8, 8, 8))[..., :3]
+
+    common = dict(dataset=None, map_fn=map_fn, synth_fn=synth_fn, z_dim=32,
+                  extractor=IdFeatures(), ppl_samples=16, batch_size=8,
+                  seed=5)
+    r_single = metric_main.calc_metric('ppl2_wend', **common)
+    r_mesh = metric_main.calc_metric('ppl2_wend', mesh=make_mesh(4), **common)
+    assert r_mesh.num_gpus == 4
+    np.testing.assert_allclose(r_mesh.results['ppl2_wend'],
+                               r_single.results['ppl2_wend'],
+                               rtol=1e-4, atol=1e-6)
