@@ -190,7 +190,8 @@ def main(**kwargs):
                 synth_fn=lambda ws: _metric_cache['synth_ws'](ema_vars, ws),
                 ppl_samples=2000, z_dim=cfg.z_dim,
                 extractor=_metric_cache['extractor'],
-                cache_dir=os.path.join(run_dir, 'metric-cache'))
+                cache_dir=os.path.join(run_dir, 'metric-cache'),
+                mesh=mesh)  # fan eval over the training mesh
             metric_main.report_metric(result, run_dir=run_dir,
                                       snapshot_pkl=snapshot_path)
             for k, v in result.results.items():

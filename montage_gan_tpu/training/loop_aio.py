@@ -439,7 +439,11 @@ def training_loop(
                     map_fn=metric_map_fn, synth_fn=metric_synth_ws_fn,
                     ppl_samples=2000,  # in-training tracking budget
                     z_dim=cfg.z_dim, extractor=extractor,
-                    cache_dir=os.path.join(run_dir, 'metric-cache'))
+                    cache_dir=os.path.join(run_dir, 'metric-cache'),
+                    # fan eval over the training mesh (single-process only:
+                    # on multi-host the primary cannot address the global
+                    # mesh's remote devices for a host-side batch put)
+                    mesh=mesh if nproc == 1 else None)
                 metric_main.report_metric(result, run_dir=run_dir,
                                           snapshot_pkl=snapshot_path)
                 for k, v in result.results.items():
