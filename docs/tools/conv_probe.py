@@ -1,0 +1,125 @@
+"""Microbenchmark: achieved TF/s of the AIO step's conv shapes on the chip.
+
+Answers one optimization question per family:
+  * plain 3x3 convs (conv1, D convs) — how close to the chip's attainable
+    bf16 conv rate are the step's real shapes?
+  * up-2x convs (synthesis conv0) — is XLA's ``lhs_dilation`` lowering
+    paying the 4x dense-at-output-res penalty on TPU, compared with the
+    subpixel decomposition (4 phase convs on the LOW-res input, same math,
+    9 taps total)?  If dilated ≈ subpixel, the current conv2d_resample
+    up-path is already optimal; if dilated is ~4x slower, implement the
+    subpixel path (ops/conv2d_resample.py:100-110).
+  * down-2x strided convs (D transitions) — sanity check.
+
+Run on the real chip (one process!):  python docs/tools/conv_probe.py
+Timing uses device->host scalar readback as the barrier — the only sync the
+tunneled transport honors (see bench.py NOTE on synchronization).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _sync(x):
+    return float(jax.device_get(jnp.sum(x[..., :1, :1, :1].astype(jnp.float32))))
+
+
+def _timeit(fn, *args, iters=8):
+    out = fn(*args)
+    _sync(out)  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+        _sync(out)
+    return (time.time() - t0) / iters
+
+
+def dense(x, w, stride=1, lhs_dilation=None, padding='SAME'):
+    return lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        lhs_dilation=lhs_dilation, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def up2_dilated(x, w):
+    kh, kw = w.shape[0], w.shape[1]
+    return dense(x, w, lhs_dilation=(2, 2),
+                 padding=((kh - 1, kh), (kw - 1, kw)))
+
+
+def up2_subpixel(x, w):
+    """Same contraction as up2_dilated, as 4 phase convs on the low-res
+    input + interleave (measurement stand-in: phase kernels are the strided
+    slices of w; alignment/crop is ignored — FLOPs and layouts match)."""
+    phases = []
+    for py in (0, 1):
+        for px in (1, 0):
+            sub = w[py::2, px::2]
+            pad = ((sub.shape[0] - 1, 0), (sub.shape[1] - 1, 0))
+            phases.append(dense(x, sub, padding=pad))
+    a, b, c, d = phases
+    n, h, ww, co = a.shape
+    top = jnp.stack([a, b], axis=3).reshape(n, h, 2 * ww, co)
+    bot = jnp.stack([c, d], axis=3).reshape(n, h, 2 * ww, co)
+    return jnp.stack([top, bot], axis=2).reshape(n, 2 * h, 2 * ww, co)
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    B = 16  # the production local-phase microbatch
+    rows = []
+    # (name, H, cin, cout, kind)
+    shapes = [
+        ("g256 conv1", 256, 64, 64, "plain"),
+        ("g128 conv1", 128, 128, 128, "plain"),
+        ("g64 conv1", 64, 256, 256, "plain"),
+        ("g32 conv1", 32, 512, 512, "plain"),
+        ("g128->256 conv0", 128, 128, 64, "up2"),
+        ("g64->128 conv0", 64, 256, 128, "up2"),
+        ("g32->64 conv0", 32, 512, 256, "up2"),
+        ("d256->128 down", 256, 64, 128, "down2"),
+        ("d64->32 down", 64, 256, 512, "down2"),
+    ]
+    key = jax.random.PRNGKey(0)
+    for name, h, cin, cout, kind in shapes:
+        kx, kw_, key = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (B, h, h, cin), jnp.bfloat16)
+        w = jax.random.normal(kw_, (3, 3, cin, cout), jnp.bfloat16)
+        if kind == "plain":
+            variants = {"dense": jax.jit(lambda x, w: dense(x, w))}
+            flops = 2 * B * h * h * cin * cout * 9
+        elif kind == "up2":
+            variants = {
+                "lhs_dilated": jax.jit(up2_dilated),
+                "subpixel": jax.jit(up2_subpixel),
+            }
+            flops = 2 * B * h * h * cin * cout * 9  # 9 taps at LOW res
+        else:
+            variants = {"strided": jax.jit(
+                lambda x, w: dense(x, w, stride=2))}
+            flops = 2 * B * (h // 2) ** 2 * cin * cout * 9
+        for vname, fn in variants.items():
+            # forward
+            t_f = _timeit(fn, x, w)
+            # fwd+bwd (grads wrt x and w — the training cost)
+            g = jax.jit(jax.grad(
+                lambda x, w: jnp.sum(fn(x, w).astype(jnp.float32)),
+                argnums=(0, 1)))
+            t0 = time.time()
+            gx, gw = g(x, w)
+            _sync(gx)
+            t_warm = time.time() - t0
+            t_b = _timeit(lambda x, w: g(x, w)[0], x, w)
+            rows.append((name, vname, flops / t_f / 1e12,
+                         3 * flops / t_b / 1e12, t_f, t_b))
+            print(f"{name:18s} {vname:12s} fwd {flops / t_f / 1e12:6.1f} TF/s"
+                  f"  fwd+bwd {3 * flops / t_b / 1e12:6.1f} TF/s"
+                  f"  ({t_f * 1e3:.1f} / {t_b * 1e3:.1f} ms,"
+                  f" bwd warm {t_warm:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
