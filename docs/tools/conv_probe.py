@@ -51,20 +51,25 @@ def up2_dilated(x, w):
 
 
 def up2_subpixel(x, w):
-    """Same contraction as up2_dilated, as 4 phase convs on the low-res
-    input + interleave (measurement stand-in: phase kernels are the strided
-    slices of w; alignment/crop is ignored — FLOPs and layouts match)."""
-    phases = []
-    for py in (0, 1):
-        for px in (1, 0):
-            sub = w[py::2, px::2]
-            pad = ((sub.shape[0] - 1, 0), (sub.shape[1] - 1, 0))
-            phases.append(dense(x, sub, padding=pad))
-    a, b, c, d = phases
-    n, h, ww, co = a.shape
-    top = jnp.stack([a, b], axis=3).reshape(n, h, 2 * ww, co)
-    bot = jnp.stack([c, d], axis=3).reshape(n, h, 2 * ww, co)
-    return jnp.stack([top, bot], axis=2).reshape(n, 2 * h, 2 * ww, co)
+    """The production phase decomposition (exact, parity-tested vs the
+    dilated form in tests/test_ops_parity.py)."""
+    from montage_gan_tpu.ops.conv2d_resample import _up_conv_subpixel
+    return _up_conv_subpixel(x, w, 2)
+
+
+def plain_im2col(x, w):
+    """3x3 SAME conv as one explicit matmul: unfold 9 shifted views of x
+    into the contraction axis.  Same math as ``dense(x, w)``; probes whether
+    the MXU matmul path beats the conv emitter at these shapes (measured
+    bf16 matmul ~111 TF/s vs conv ~74 TF/s on this v5e)."""
+    n, h, ww, cin = x.shape
+    kh, kw, _, cout = w.shape
+    xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+    cols = [xp[:, dy:dy + h, dx:dx + ww, :]
+            for dy in range(kh) for dx in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)           # [N,H,W,kh*kw*cin]
+    return (patches.reshape(n * h * ww, kh * kw * cin)
+            @ w.reshape(kh * kw * cin, cout)).reshape(n, h, ww, cout)
 
 
 def main():
@@ -89,7 +94,8 @@ def main():
         x = jax.random.normal(kx, (B, h, h, cin), jnp.bfloat16)
         w = jax.random.normal(kw_, (3, 3, cin, cout), jnp.bfloat16)
         if kind == "plain":
-            variants = {"dense": jax.jit(lambda x, w: dense(x, w))}
+            variants = {"dense": jax.jit(lambda x, w: dense(x, w)),
+                        "im2col": jax.jit(plain_im2col)}
             flops = 2 * B * h * h * cin * cout * 9
         elif kind == "up2":
             variants = {

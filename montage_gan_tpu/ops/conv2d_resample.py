@@ -21,6 +21,7 @@ weights at the loss level.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -29,6 +30,23 @@ import numpy as np
 from jax import lax
 
 from .upfirdn2d import upfirdn2d, _parse_padding, _filter_size
+
+
+def _up_impl() -> str:
+    """'dilated' | 'subpixel' | 'auto' — from ``MGT_UP_IMPL``.
+
+    Two mathematically identical lowerings of the fused zero-insert+conv
+    (the up-path's transposed conv): 'dilated' is one
+    ``lax.conv_general_dilated`` with ``lhs_dilation``; 'subpixel' contracts
+    only the non-zero taps as up² phase convs on the LOW-res input (1/up²
+    of the dense-at-output-res MACs when the backend executes the dilated
+    form densely).  'auto' currently resolves to 'dilated' pending on-chip
+    measurement (docs/tools/conv_probe.py compares the two real paths).
+    """
+    impl = os.environ.get('MGT_UP_IMPL', 'auto')
+    if impl == 'auto':
+        return 'dilated'
+    return impl
 
 
 def _conv(x: jax.Array,
@@ -50,6 +68,64 @@ def _conv(x: jax.Array,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
     )
+
+
+def _up_conv_subpixel(x: jax.Array,
+                      w: jax.Array,
+                      up: int,
+                      groups: int = 1,
+                      flip_weight: bool = True) -> jax.Array:
+    """Fused zero-insert ×up + dense conv, as up² phase convs on the
+    low-res input.
+
+    Bit-identical (modulo float reassociation) to the dilated form used by
+    the up path::
+
+        _conv(x, w, lhs_dilation=(up, up),
+              padding=((kh-1, kh-1+up-1), (kw-1, kw-1+up-1)))
+
+    but each output phase ``(r, s)`` contracts only the kernel taps that
+    land on non-zero (non-stuffed) input samples — the strided slice
+    ``w[(kh-1-r) % up :: up, (kw-1-s) % up :: up]`` — so the MAC count is
+    1/up² of the dense-at-output-res contraction.  Requires
+    ``(kh-1) % up == 0`` (true for the synthesis conv0's k=3, up=2).
+    Reference semantics anchor: torch_utils/ops/conv2d_resample.py:119-139
+    (transposed conv as the up-path engine).
+    """
+    if not flip_weight:
+        w = jnp.flip(w, axis=(0, 1))
+    n, h_in, w_in, _ = x.shape
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    c_out = int(w.shape[3])
+    assert (kh - 1) % up == 0 and (kw - 1) % up == 0
+    p0y, p0x = kh - 1, kw - 1
+    my = h_in + (kh - 1) // up   # per-phase output rows
+    mx = w_in + (kw - 1) // up   # per-phase output cols
+
+    rows = []
+    for r in range(up):
+        sy = (p0y - r) % up
+        ty = max(0, -(-(kh - sy) // up))
+        qy = (p0y - r) // up
+        cols = []
+        for s in range(up):
+            sx = (p0x - s) % up
+            tx = max(0, -(-(kw - sx) // up))
+            qx = (p0x - s) // up
+            if ty == 0 or tx == 0:
+                cols.append(jnp.zeros((n, my, mx, c_out), x.dtype))
+                continue
+            sub = w[sy::up, sx::up]
+            pad_hi_y = my + ty - qy - h_in - 1
+            pad_hi_x = mx + tx - qx - w_in - 1
+            cols.append(lax.conv_general_dilated(
+                x, sub.astype(x.dtype), window_strides=(1, 1),
+                padding=((qy, pad_hi_y), (qx, pad_hi_x)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=groups))
+        rows.append(jnp.stack(cols, axis=3))        # [N, My, Mx, up, Co]
+    y = jnp.stack(rows, axis=2)                     # [N, My, up, Mx, up, Co]
+    return y.reshape(n, up * my, up * mx, c_out)
 
 
 def conv2d_resample(x: jax.Array,
@@ -98,9 +174,15 @@ def conv2d_resample(x: jax.Array,
     # Upsampling: fused zero-insert + dense conv (lhs_dilation), keeping the
     # full output, then the FIR with the remaining padding (gain up²).
     if up > 1:
-        x = _conv(x, w, groups=groups, flip_weight=flip_weight,
-                  lhs_dilation=(up, up),
-                  padding=((kh - 1, kh - 1 + up - 1), (kw - 1, kw - 1 + up - 1)))
+        if (_up_impl() == 'subpixel'
+                and (kh - 1) % up == 0 and (kw - 1) % up == 0):
+            x = _up_conv_subpixel(x, w, up, groups=groups,
+                                  flip_weight=flip_weight)
+        else:
+            x = _conv(x, w, groups=groups, flip_weight=flip_weight,
+                      lhs_dilation=(up, up),
+                      padding=((kh - 1, kh - 1 + up - 1),
+                               (kw - 1, kw - 1 + up - 1)))
         x = upfirdn2d(x, f,
                       padding=[px0 - (kw - 1), px1 - (kw - 1),
                                py0 - (kh - 1), py1 - (kh - 1)],

@@ -209,6 +209,76 @@ def test_conv2d_resample(case):
                                rtol=1e-3, atol=1e-4)
 
 
+UP_SUBPIXEL_CASES = [
+    dict(k=3, up=2, cin=6, cout=8, h=10, w=12),     # synthesis conv0
+    dict(k=3, up=2, cin=6, cout=8, h=7, w=9),       # odd spatial
+    dict(k=1, up=2, cin=6, cout=8, h=10, w=12),     # degenerate (zero phases)
+    dict(k=5, up=2, cin=4, cout=4, h=8, w=8),
+    dict(k=4, up=3, cin=4, cout=4, h=6, w=6),
+    dict(k=3, up=2, cin=6, cout=8, h=10, w=12, groups=2),
+    dict(k=3, up=2, cin=6, cout=8, h=10, w=12, flip_weight=True),
+]
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("case", UP_SUBPIXEL_CASES)
+def test_up_conv_subpixel_matches_dilated(case):
+    """The subpixel phase decomposition must be exactly the dilated
+    transposed conv it replaces (ops/conv2d_resample.py:_up_conv_subpixel),
+    including gradients (the synthesis path differentiates through it for
+    R1/PL)."""
+    from montage_gan_tpu.ops.conv2d_resample import _conv, _up_conv_subpixel
+
+    rng = np.random.RandomState(11)
+    k, up, groups = case["k"], case["up"], case.get("groups", 1)
+    flip_w = case.get("flip_weight", False)
+    x = jnp.asarray(rng.randn(2, case["h"], case["w"],
+                              case["cin"]).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, case["cin"] // groups,
+                              case["cout"]).astype(np.float32))
+
+    def dilated(x, w):
+        return _conv(x, w, groups=groups, flip_weight=flip_w,
+                     lhs_dilation=(up, up),
+                     padding=((k - 1, k - 1 + up - 1),
+                              (k - 1, k - 1 + up - 1)))
+
+    def subpixel(x, w):
+        return _up_conv_subpixel(x, w, up, groups=groups, flip_weight=flip_w)
+
+    y_ref, y = dilated(x, w), subpixel(x, w)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+    gx_ref, gw_ref = jax.grad(
+        lambda x, w: jnp.sum(dilated(x, w) * ct), argnums=(0, 1))(x, w)
+    gx, gw = jax.grad(
+        lambda x, w: jnp.sum(subpixel(x, w) * ct), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_conv2d_resample_up_impl_dispatch(monkeypatch):
+    """MGT_UP_IMPL=subpixel must route the up path through the phase
+    decomposition and produce the same full conv2d_resample output."""
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 10, 12, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 8).astype(np.float32))
+    f = ops.setup_filter([1, 3, 3, 1])
+
+    monkeypatch.setenv("MGT_UP_IMPL", "dilated")
+    y_ref = ops.conv2d_resample(x, w, f=f, up=2, padding=1, flip_weight=False)
+    monkeypatch.setenv("MGT_UP_IMPL", "subpixel")
+    y = ops.conv2d_resample(x, w, f=f, up=2, padding=1, flip_weight=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # modulated_conv2d
 # ---------------------------------------------------------------------------
