@@ -197,11 +197,22 @@ def main(network_path, target_path, layer_idx, num_steps, seed, save_video,
     np.savez(os.path.join(outdir, 'projected_w.npz'),
              w=np.asarray(w_opt))
     if save_video and frames:
-        # save frame sequence (mp4 writers unavailable offline)
-        for j, fr in enumerate(frames):
-            Image.fromarray((np.clip(fr, 0, 1) * 255).astype(np.uint8),
-                            'RGBA').save(
-                os.path.join(outdir, f'proj_frame{j:04d}.png'))
+        # Animated progress video — the reference writes target|synth mp4
+        # (projector.py:191-199); no ffmpeg backend exists offline, so write
+        # an animated GIF (PIL native) with the same side-by-side layout.
+        def _rgb_over_white(im01):
+            rgb, a = im01[..., :3], im01[..., 3:4]
+            return np.clip(rgb * a + (1.0 - a), 0, 1)
+
+        tgt = _rgb_over_white(np.asarray(target01[0]))
+        pil_frames = [
+            Image.fromarray((np.concatenate(
+                [tgt, _rgb_over_white(np.clip(fr, 0, 1))], axis=1)
+                * 255).astype(np.uint8), 'RGB')
+            for fr in frames]
+        pil_frames[0].save(os.path.join(outdir, 'proj.gif'), save_all=True,
+                           append_images=pil_frames[1:], duration=100, loop=0)
+        print(f'Saved optimization progress video {outdir}/proj.gif')
     print('Done.')
 
 

@@ -68,7 +68,20 @@ def main():
     pstep = make_parallel_train_step(trainer, mesh, donate_state=False)
     state_r = replicate(mesh, state0)
     rng_r = replicate(mesh, jax.random.PRNGKey(2))
-    s2, stats = pstep(state_r, stack_s, crops_s, rng_r)
+
+    # AOT-compile BEFORE touching any collective, then align both processes
+    # at a coordination-service barrier (pure gRPC, no Gloo).  The first
+    # executed psum creates the Gloo context, whose peer-connect KV lookup
+    # has a hard 30 s deadline — on a loaded 1-CPU box the two workers'
+    # compile times can skew by minutes, and the early worker would time
+    # out waiting for the late one (observed: "GetKeyValue() timed out
+    # with key: cpu:gloo/...").  Compiling first bounds the skew at the
+    # barrier exit to microseconds.
+    compiled = pstep.lower(state_r, stack_s, crops_s, rng_r).compile()
+    from jax._src import distributed as _jdist  # test-only barrier access
+    _jdist.global_state.client.wait_at_barrier('dist_worker_compiled',
+                                               timeout_in_ms=1_200_000)
+    s2, stats = compiled(state_r, stack_s, crops_s, rng_r)
 
     def local(x):  # replicated global array → this process's copy
         return np.asarray(x.addressable_data(0))

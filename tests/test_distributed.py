@@ -84,7 +84,7 @@ def test_two_process_step_matches_single_process(tmp_path):
         for pid in range(2)]
     outs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=900)
+        stdout, _ = p.communicate(timeout=1800)
         outs.append(stdout.decode(errors='replace'))
     assert all(p.returncode == 0 for p in procs), '\n'.join(outs)
 

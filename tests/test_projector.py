@@ -55,8 +55,15 @@ def test_projector_cli(tiny_snapshot, tmp_path, noise_flag):
     outdir = str(tmp_path / ('out' + noise_flag.replace('-', '')))
     res = CliRunner().invoke(
         proj_main, ['--network', path, '--target', target_path,
-                    '--num-steps', '4', '--outdir', outdir, noise_flag])
+                    '--num-steps', '4', '--outdir', outdir, noise_flag,
+                    '--save-video'])
     assert res.exit_code == 0, res.output
     assert os.path.exists(os.path.join(outdir, 'proj.png'))
     w = np.load(os.path.join(outdir, 'projected_w.npz'))['w']
     assert np.all(np.isfinite(w))
+    # animated progress video (reference projector.py:191-199; GIF here)
+    from PIL import Image
+    gif = Image.open(os.path.join(outdir, 'proj.gif'))
+    assert getattr(gif, 'is_animated', False) or gif.n_frames >= 1
+    # side-by-side target|synth layout → width is 2x the target's
+    assert gif.size[0] == 2 * gif.size[1]
