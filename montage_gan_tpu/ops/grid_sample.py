@@ -101,14 +101,79 @@ def translate_sample(x: jax.Array, translation: jax.Array,
     coordinate is shifted by +t, so content moves by -t·(extent/2) pixels.
 
     This is the specialization of affine_grid+grid_sample for a translation-
-    only theta; kept separate so the fused Pallas composite kernel can target
-    it directly.
-    """
+    only theta.  On TPU it dispatches to the dense-matmul engine
+    (``translate_sample_matmul``) — per-pixel gathers and their scatter-add
+    VJPs are catastrophic on TPU, and unlike ``ops.affine_warp`` (which
+    stop-gradients theta) the STN needs d/d-translation, which the matmul
+    form provides through the hat weights.  ``MGT_WARP_IMPL`` overrides
+    (``matmul`` | ``gather`` | ``auto``)."""
+    from .affine_warp import use_matmul_warp
+    if use_matmul_warp():
+        return translate_sample_matmul(x, translation, pad_value=pad_value)
     n = x.shape[0]
     eye = jnp.tile(jnp.eye(2, 3, dtype=jnp.float32), (n, 1, 1))
     theta = eye.at[:, :, 2].add(translation.astype(jnp.float32))
     grid = affine_grid(theta, x.shape[1], x.shape[2])
     return grid_sample(x, grid, pad_value=pad_value)
+
+
+def translate_sample_matmul(x: jax.Array, translation: jax.Array,
+                            pad_value: float = 0.0) -> jax.Array:
+    """``translate_sample`` as two dense MXU matmuls — differentiable in BOTH
+    ``x`` and ``translation``.
+
+    A pure translation shifts every sampling coordinate of axis a by the same
+    per-sample offset ``δ_a = t_a · extent_a/2`` (pixel units; from the
+    affine_grid algebra ``ix_j = j + δx``), so bilinear sampling factorizes
+    into separable hat-kernel weight matrices
+
+        Wy[n, k, i] = hat(k + δy_n − i),   Wx[n, l, j] = hat(l + δx_n − j),
+        out = Wy @ x @ Wxᵀ    (per sample, per channel),
+
+    with ``hat(d) = max(0, 1 − |d|)``.  Each row has ≤2 nonzeros but a dense
+    [S, S] matmul on the MXU beats the per-pixel gather by ~an order of
+    magnitude on TPU, and every derivative — d/dx (the transposed matmuls),
+    d/dt (through the piecewise-linear hat), and R1/PL grad-of-grad — is
+    again matmuls, replacing the gather path's scatter-add VJP.  This is the
+    gradient-carrying sibling of ``ops.affine_warp`` (whose theta is RNG-
+    derived and stop-gradient); the STN trains its translations through this
+    op (reference: fukuwarai/networks.py:195-222 regresses theta and
+    backprops through grid_sample).
+
+    Out-of-bounds taps get zero hat weight (== the gather path's masked
+    fill); ``pad_value`` is restored exactly via the separable coverage
+    ``(ΣᵢWy)·(ΣⱼWx)``: ``out += pad_value · (1 − coverage)``.
+
+    Numerics: weights and accumulation in f32 with HIGHEST matmul precision
+    (sub-pixel placement breaks under bf16 contraction — the same rule as
+    the affine grids, docs/GAPS.md).  Parity with the gather path is pinned
+    in tests/test_ops_parity.py.
+    """
+    n, h, w, c = x.shape
+    t = translation.astype(jnp.float32)
+    dy = t[:, 1] * (h * 0.5)                     # [N] pixel shifts
+    dx = t[:, 0] * (w * 0.5)
+
+    iy = jnp.arange(h, dtype=jnp.float32)
+    ix = jnp.arange(w, dtype=jnp.float32)
+
+    def hat(d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+    wy = hat(iy[None, :, None] + dy[:, None, None] - iy[None, None, :])
+    wx = hat(ix[None, :, None] + dx[:, None, None] - ix[None, None, :])
+
+    xf = x.astype(jnp.float32)
+    z = jnp.einsum('nki,nijc->nkjc', wy, xf,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum('nlj,nkjc->nklc', wx, z,
+                     precision=jax.lax.Precision.HIGHEST)
+
+    if pad_value != 0.0:
+        cov = (jnp.sum(wy, axis=-1)[:, :, None]
+               * jnp.sum(wx, axis=-1)[:, None, :])          # [N, H, W]
+        out = out + jnp.float32(pad_value) * (1.0 - cov)[..., None]
+    return out.astype(x.dtype)
 
 
 def translate_to_theta(translation: jax.Array) -> jax.Array:

@@ -326,3 +326,112 @@ def test_singular_theta_stays_finite():
     val, grad = jax.value_and_grad(loss)(x)
     assert bool(jnp.isfinite(val))
     assert bool(jnp.all(jnp.isfinite(grad)))
+
+
+# ---------------------------------------------------------------------------
+# translate_sample_matmul — the gradient-carrying translation warp (the STN's
+# sampling engine on TPU; unlike affine_warp, d/d-translation must flow)
+# ---------------------------------------------------------------------------
+
+from montage_gan_tpu.ops.grid_sample import (translate_sample,
+                                             translate_sample_matmul)
+
+
+def _rand_translations(n, seed, scale=0.7):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.uniform(-scale, scale, size=(n, 2))
+                       .astype(np.float32))
+
+
+@pytest.mark.parametrize('pad_value', [0.0, -1.0])
+@pytest.mark.parametrize('hw', [(16, 16), (12, 20)])
+def test_translate_matmul_matches_gather(pad_value, hw):
+    h, w = hw
+    x = jax.random.uniform(jax.random.PRNGKey(30), (4, h, w, 4),
+                           jnp.float32, -1.0, 1.0)
+    t = _rand_translations(4, 31)
+    ref = translate_sample(x, t, pad_value=pad_value)  # gather path on CPU
+    got = translate_sample_matmul(x, t, pad_value=pad_value)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_translate_matmul_large_shift_fills_pad():
+    # |t| > 2 pushes all content off-plane: the whole output is pad_value.
+    x = jax.random.uniform(jax.random.PRNGKey(32), (2, 8, 8, 3), jnp.float32)
+    t = jnp.asarray([[2.5, -2.5], [3.0, 3.0]], jnp.float32)
+    got = translate_sample_matmul(x, t, pad_value=-1.0)
+    np.testing.assert_allclose(np.asarray(got), -1.0, atol=1e-6)
+
+
+def test_translate_matmul_grad_x_matches_gather():
+    x = jax.random.uniform(jax.random.PRNGKey(33), (3, 10, 14, 2),
+                           jnp.float32, -1.0, 1.0)
+    t = _rand_translations(3, 34)
+    cot = jax.random.normal(jax.random.PRNGKey(35), (3, 10, 14, 2))
+
+    def loss(fn):
+        return lambda a: jnp.sum(fn(a, t, pad_value=-1.0) * cot)
+
+    g_ref = jax.grad(loss(translate_sample))(x)
+    g_got = jax.grad(loss(translate_sample_matmul))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_translate_matmul_grad_t_matches_gather():
+    # The STN trains its regressed translations THROUGH the warp
+    # (reference fukuwarai/networks.py:195-222) — d/dt must match the
+    # gather path.  Offsets chosen away from integer pixel shifts (where
+    # the two formulations pick different valid subgradients).
+    x = jax.random.uniform(jax.random.PRNGKey(36), (3, 12, 12, 3),
+                           jnp.float32, -1.0, 1.0)
+    t = jnp.asarray([[0.137, -0.261], [0.492, 0.333], [-0.605, 0.071]],
+                    jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(37), (3, 12, 12, 3))
+
+    def loss(fn):
+        return lambda tt: jnp.sum(fn(x, tt, pad_value=-1.0) * cot)
+
+    g_ref = jax.grad(loss(translate_sample))(t)
+    g_got = jax.grad(loss(translate_sample_matmul))(t)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_translate_matmul_second_order():
+    # Global Dreg (R1) differentiates through the frozen-G STN output only
+    # via D, but the renderer/global-G grad-of-grad paths can touch the
+    # warp twice — grad-of-grad must be finite and match the gather path.
+    x = jax.random.uniform(jax.random.PRNGKey(38), (2, 9, 9, 2),
+                           jnp.float32, -1.0, 1.0)
+    t = jnp.asarray([[0.21, -0.43], [0.08, 0.55]], jnp.float32)
+
+    def inner(fn):
+        def f(a, tt):
+            y = fn(a, tt, pad_value=-1.0)
+            (gx,) = jax.grad(lambda b: jnp.sum(jnp.sin(
+                fn(b, tt, pad_value=-1.0))), argnums=(0,))(a)
+            return jnp.sum(y ** 2) + jnp.sum(gx ** 2)
+        return jax.grad(f, argnums=(0, 1))
+
+    gx_ref, gt_ref = inner(translate_sample)(x, t)
+    gx_got, gt_got = inner(translate_sample_matmul)(x, t)
+    np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt_got), np.asarray(gt_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_translate_sample_dispatch_honors_impl_env(monkeypatch):
+    # On CPU auto resolves to gather; forcing matmul must route through the
+    # dense engine (observable: identical values, and the matmul path is
+    # what test_translate_matmul_* pin — here we only check the switch).
+    x = jax.random.uniform(jax.random.PRNGKey(39), (2, 8, 8, 4), jnp.float32)
+    t = _rand_translations(2, 40)
+    monkeypatch.setenv('MGT_WARP_IMPL', 'matmul')
+    got = translate_sample(x, t, pad_value=-1.0)
+    monkeypatch.setenv('MGT_WARP_IMPL', 'gather')
+    ref = translate_sample(x, t, pad_value=-1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
