@@ -28,14 +28,55 @@ def _sync(x):
     return float(jax.device_get(jnp.sum(x[..., :1, :1, :1].astype(jnp.float32))))
 
 
-def _timeit(fn, *args, iters=8):
-    out = fn(*args)
-    _sync(out)  # compile + warm
+def _timeit(fn, *args, iters=32):
+    """Time ``fn`` by chaining ``iters`` data-dependent evaluations inside
+    ONE jitted program, with a single scalar readback at the end.
+
+    Per-call host sync is useless here: the tunneled transport's readback
+    RTT is ~25 ms, which swamps ms-scale kernels (a naive per-iteration
+    sync measured a 1-ms conv as "27 ms" / 2.9 TF/s).  Chaining through a
+    tiny data-dependent epsilon forces strictly sequential execution of all
+    ``iters`` kernel invocations on-device; the one readback at the end
+    amortizes the RTT to noise.
+    """
+    from jax import lax as _lax
+
+    def chained(*a):
+        x0 = a[0]
+        rest = a[1:]
+
+        def body(eps, _):
+            out = fn(x0 + eps.astype(x0.dtype), *rest)
+            # scalar data-dependence; ~0 numerically so shapes/values stay put
+            eps2 = out.reshape(-1)[0].astype(jnp.float32) * 1e-30
+            return eps2, None
+
+        eps, _ = _lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return eps
+
+    run = jax.jit(chained)
+    _ = float(jax.device_get(run(*args)))  # compile + warm
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        _sync(out)
-    return (time.time() - t0) / iters
+    _ = float(jax.device_get(run(*args)))
+    return max((time.time() - t0) - _rtt(), 1e-9) / iters
+
+
+_RTT_CACHE = []
+
+
+def _rtt():
+    """One-time estimate of the dispatch+readback round-trip of a trivial
+    program (subtracted from every chained measurement)."""
+    if not _RTT_CACHE:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        float(jax.device_get(f(x)))  # compile
+        t0 = time.time()
+        for _ in range(8):
+            float(jax.device_get(f(x)))
+        _RTT_CACHE.append((time.time() - t0) / 8)
+        print(f"# readback RTT baseline: {_RTT_CACHE[0]*1e3:.1f} ms")
+    return _RTT_CACHE[0]
 
 
 def dense(x, w, stride=1, lhs_dilation=None, padding='SAME'):

@@ -164,32 +164,62 @@ def _flat_batch_indices(nti: int, n: int, ntj: int) -> jax.Array:
     return jnp.tile(jnp.repeat(jnp.arange(n, dtype=jnp.int32), ntj), (nti,))
 
 
-def _weights(spec: _Spec, sp, labs, axis_virtual_len: int) -> jax.Array:
+@functools.lru_cache(maxsize=None)
+def _filter_matrix(taps: Tuple[float, ...], up: int, B: int) -> np.ndarray:
+    """Static banded matrix ``T[mi, b] = up·f[mi − up·b]`` mapping virtual
+    taps (relative index mi in a window of ``Mv = up·(B−1) + n_taps``) to
+    the window's ``B`` stored taps."""
+    n_taps = len(taps)
+    mv = up * (B - 1) + n_taps
+    t = np.zeros((mv, B), dtype=np.float32)
+    for b in range(B):
+        t[up * b:up * b + n_taps, b] = np.asarray(taps, np.float32) * up
+    return t
+
+
+def _weights(spec: _Spec, sp, l0, B: int, axis_virtual_len: int) -> jax.Array:
     """Dense weight matrix between points and stored-plane taps.
 
     Args:
         sp: ``[..., P]`` point source coordinates in stored-l units (s').
-        labs: ``[..., B]`` absolute stored-plane tap indices (f32).
+        l0: ``[...]`` window base — absolute index of the first stored tap
+            (f32 or int); the window's taps are ``l0 … l0+B−1`` (contiguous).
+        B: window length (static).
         axis_virtual_len: virtual plane extent along this axis (``up·L``).
     Returns:
         ``[..., P, B]`` weights: plain hat when ``taps is None``, else the
         fused kernel ``up·Σ_j hat(up·(s'−l) − j)·f[j]`` with taps masked to
         the virtual plane (upfirdn2d's border crop).
+
+    Fused form: rather than evaluating the n_taps-piece kernel directly
+    (n_taps VPU passes over [P, B] — measured as the engine's bottleneck at
+    the ADA call's 12-tap sym6 filter), factorize it exactly as
+
+        w = H @ T,   H[p, mi] = hat(v_p − (m0 + mi)) · in_plane(m0 + mi),
+                     T[mi, b] = up·f[mi − up·b]  (static, cached),
+
+    with ``v = up·s' + c0``, ``m0 = up·l0 + c0`` (virtual window base): ONE
+    hat evaluation over the up-resolved window plus a small static matmul
+    on the MXU.  Algebraically identical (substitute ``j = mi − up·b``).
     """
-    d = sp[..., :, None] - labs[..., None, :]
+    l0 = jnp.asarray(l0, jnp.float32)
     if spec.taps is None:
-        return _hat(d)
-    u = spec.up * d
+        labs = l0[..., None] + jnp.arange(B, dtype=jnp.float32)
+        return _hat(sp[..., :, None] - labs[..., None, :])
     c0 = spec.up - 1 - spec.p0   # virtual tap base: m = up·l + c0 + j
-    base = spec.up * labs + float(c0)
-    acc = None
-    for j, fj in enumerate(spec.taps):
-        m = base + float(j)
-        valid = ((m >= 0.0) & (m < float(axis_virtual_len)))
-        fjm = (float(fj) * spec.up) * valid.astype(jnp.float32)
-        term = _hat(u - float(j)) * fjm[..., None, :]
-        acc = term if acc is None else acc + term
-    return acc
+    mv = spec.up * (B - 1) + spec.n_taps
+    t_mat = jnp.asarray(_filter_matrix(spec.taps, spec.up, B))
+    v = spec.up * sp + float(c0)                              # [..., P]
+    m_abs = (spec.up * l0 + float(c0))[..., None] \
+        + jnp.arange(mv, dtype=jnp.float32)                   # [..., Mv]
+    in_plane = ((m_abs >= 0.0)
+                & (m_abs < float(axis_virtual_len))).astype(jnp.float32)
+    h = _hat(v[..., :, None] - m_abs[..., None, :]) \
+        * in_plane[..., None, :]                              # [..., P, Mv]
+    # Weight fidelity needs ~f32: fixed HIGH here regardless of the image
+    # contraction's (sweepable) precision — the matmul is small.
+    return jnp.einsum('...pm,mb->...pb', h, t_mat,
+                      precision=lax.Precision.HIGH)
 
 
 def _support(spec: _Spec) -> Tuple[float, float]:
@@ -280,15 +310,10 @@ def _warp_tiled(spec: _Spec, x, theta):
                   + 1, 0, h - bh)
     bidx = _flat_batch_indices(nti, n, ntj)
 
-    iw = jnp.arange(bw, dtype=jnp.float32)
-    ih = jnp.arange(bh, dtype=jnp.float32)
-
     def one_tile(sx_r, sy_r, h0_s, w0_s, b):      # [P], [P], scalars
         blk = lax.dynamic_slice(x, (b, h0_s, w0_s, 0), (1, bh, bw, c))[0]
-        wx = _weights(spec, sx_r[None],
-                      w0_s[None, None].astype(jnp.float32) + iw, spec.wv)[0]
-        wy = _weights(spec, sy_r[None],
-                      h0_s[None, None].astype(jnp.float32) + ih, spec.hv)[0]
+        wx = _weights(spec, sx_r[None], w0_s[None], bw, spec.wv)[0]
+        wy = _weights(spec, sy_r[None], h0_s[None], bh, spec.hv)[0]
         # Contract columns on the MXU, then rows on the VPU.
         z = jnp.einsum('pw,hwc->phc', wx, blk,
                        precision=spec.precision)  # [P, bh, C]
@@ -384,8 +409,6 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
     k0_t = jnp.repeat(jnp.arange(nti, dtype=jnp.int32) * tile, n * ntj)
     l0_t = jnp.tile(jnp.arange(ntj, dtype=jnp.int32) * tile, (nti * n,))
 
-    it = jnp.arange(tile, dtype=jnp.float32)
-
     def one_tile(u0_s, v0_s, b, krow, lcol):
         g_w = lax.dynamic_slice(g, (b, u0_s, v0_s, 0),
                                 (1, gbh, gbw, c))[0].reshape(q, c)
@@ -393,10 +416,8 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
                                  (1, gbh, gbw))[0].reshape(q)
         sy_w = lax.dynamic_slice(spy, (b, u0_s, v0_s),
                                  (1, gbh, gbw))[0].reshape(q)
-        wy = _weights(spec, sy_w[None],
-                      krow[None, None].astype(jnp.float32) + it, spec.hv)[0]
-        wx = _weights(spec, sx_w[None],
-                      lcol[None, None].astype(jnp.float32) + it, spec.wv)[0]
+        wy = _weights(spec, sy_w[None], krow[None], tile, spec.hv)[0]
+        wx = _weights(spec, sx_w[None], lcol[None], tile, spec.wv)[0]
         zq = wx[:, :, None] * g_w[:, None, :]          # [Q, tile, C]
         return jnp.einsum('qk,qlc->klc', wy, zq,
                           precision=spec.precision)    # [tile, tile, C]
@@ -503,10 +524,8 @@ def _warp_full(spec: _Spec, x, theta) -> jax.Array:
     out_h, out_w = spec.out_h, spec.out_w
     spx, spy = _source_coords(spec, theta, out_h, out_w)
     p = out_h * out_w
-    wx = _weights(spec, spx.reshape(n, p),
-                  jnp.arange(w, dtype=jnp.float32)[None], spec.wv)
-    wy = _weights(spec, spy.reshape(n, p),
-                  jnp.arange(h, dtype=jnp.float32)[None], spec.hv)
+    wx = _weights(spec, spx.reshape(n, p), jnp.zeros((1,)), w, spec.wv)
+    wy = _weights(spec, spy.reshape(n, p), jnp.zeros((1,)), h, spec.hv)
     z = jnp.einsum('npw,nhwc->nphc', wx, x.astype(jnp.float32),
                    precision=spec.precision)
     out = jnp.einsum('nph,nphc->npc', wy, z, precision=spec.precision)

@@ -213,6 +213,14 @@ def _make_fbank() -> np.ndarray:
 _HZ_FBANK = _make_fbank()
 _HZ_GEOM = setup_filter(WAVELETS['sym6'])
 
+# Matmul-warp engine knobs for the geometric branch (ops/affine_warp.py),
+# the swept optimum at the 256-px ADA shape on a v5e (see the call site
+# below for the coverage contract at these values).  Module-level so the
+# on-chip sweep tool (docs/tools/warp_sweep.py) can override them before
+# tracing; static at trace time.
+WARP_TUNE = dict(tile=32, block=64, tile_t=32, block_t=160,
+                 chunk=64, chunk_t=16, precision=jax.lax.Precision.DEFAULT)
+
 
 # ---------------------------------------------------------------------------
 # The pipeline
@@ -340,9 +348,7 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
             # window-edge sliver of their gradient; raise block_t for
             # heavier-tailed transform laws.
             x = affine_warp(x, G[:, :2, :], out_h, out_w,
-                            up=2, up_filter=_HZ_GEOM,
-                            tile=32, block=64, tile_t=32, block_t=160,
-                            chunk=64, chunk_t=8)
+                            up=2, up_filter=_HZ_GEOM, **WARP_TUNE)
         else:
             x = upsample2d(x, _HZ_GEOM, up=2)
             grid = affine_grid(G[:, :2, :], out_h, out_w)

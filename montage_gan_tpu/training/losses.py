@@ -261,6 +261,11 @@ def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
     outs = []
     mapping_vars = diff['mapping']
     new_stats = mapping_vars.get('moving_stats')
+    # Remat of the 9 local-G forwards costs one extra G-chain forward per
+    # backward (~+8 TFLOP/step at cfg 'aio', NOT counted by utils/flops.py).
+    # Needed on 16G parts at the production global microbatch;
+    # ``MGT_REMAT_GLOBAL_G=0`` drops it where HBM allows (semantics-neutral).
+    remat_g = os.environ.get('MGT_REMAT_GLOBAL_G', '1') != '0'
     for i in range(ens.cfg.num_layers):
         # Thread moving_stats through the loop: the reference's run_global_G
         # calls run_G per layer and each mapping call EMA-updates w_avg
@@ -269,7 +274,7 @@ def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
         img, _, new_stats = run_local_g(ens, i, mapping_vars,
                                         diff['local_g'][i], z,
                                         jax.random.fold_in(k_noise, i),
-                                        style_mixing_prob, remat=True)
+                                        style_mixing_prob, remat=remat_g)
         mapping_vars = {**mapping_vars, 'moving_stats': new_stats}
         outs.append(img)
     stack = make_batch_for_pos_estimator(outs, ens.cfg.base_resolution,
