@@ -18,7 +18,11 @@ from jax import lax
 from montage_gan_tpu.ops.affine_warp import affine_warp
 from montage_gan_tpu.ops.grid_sample import affine_grid, grid_sample
 
-pytestmark = pytest.mark.quick
+# Tier split (explicit per-test marks): forward/adjoint/dispatch contracts
+# form the quick tier; gradient/second-order/e2e-augment checks (10-30 s of
+# jit compiles each) are marked slow and run in the full suite only.
+quick = pytest.mark.quick
+slow = pytest.mark.slow
 
 
 def _ada_like_thetas(n, seed=0, translate=0.125):
@@ -45,6 +49,7 @@ def _oracle(x, theta, out_h, out_w):
     return grid_sample(x, affine_grid(theta, out_h, out_w))
 
 
+@quick
 def test_tiled_matches_gather():
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (4, 96, 72, 4), jnp.float32)
@@ -55,6 +60,7 @@ def test_tiled_matches_gather():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
 
 
+@slow
 def test_full_canvas_path_matches_gather():
     key = jax.random.PRNGKey(1)
     x = jax.random.uniform(key, (3, 24, 20, 2), jnp.float32)
@@ -66,6 +72,7 @@ def test_full_canvas_path_matches_gather():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
 
 
+@slow
 def test_one_axis_windowed():
     # Window covers width fully but tiles the height (bw == w < block <= h).
     key = jax.random.PRNGKey(2)
@@ -77,6 +84,7 @@ def test_one_axis_windowed():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
 
 
+@quick
 def test_zeros_padding_out_of_bounds():
     # Big translation pushes most samples out of bounds: zeros-padding
     # semantics (partial border taps included) must match the gather path.
@@ -94,6 +102,7 @@ def test_zeros_padding_out_of_bounds():
     assert float(jnp.min(ref)) == 0.0
 
 
+@slow
 def test_grad_matches_gather():
     key = jax.random.PRNGKey(4)
     x = jax.random.uniform(key, (3, 64, 64, 4), jnp.float32)
@@ -111,6 +120,7 @@ def test_grad_matches_gather():
                                atol=2e-3)
 
 
+@slow
 def test_grad_with_big_translation():
     # Large shifts push input tiles' cotangent windows against the output
     # plane edges: the transpose's clamped window slicing must still place
@@ -134,6 +144,7 @@ def test_grad_with_big_translation():
                                atol=2e-3)
 
 
+@slow
 def test_double_grad_r1_shaped():
     # grad of sum(grad^2) — the R1 pattern — must be finite and match the
     # gather path (the op is linear, so double-backward is exercised via a
@@ -156,6 +167,7 @@ def test_double_grad_r1_shaped():
                                atol=2e-3)
 
 
+@quick
 def test_upsample2d_tap_placement_calibration():
     # The fused up2∘warp kernel assumes upsample2d places filter taps at
     # m = up*l - p0 + up - 1 + j with per-axis gain `up` and
@@ -187,6 +199,7 @@ def _fused_oracle(x, theta, out_h, out_w, f):
     return _oracle(upsample2d(x, f, up=2), theta, out_h, out_w)
 
 
+@slow
 def test_fused_up2_matches_up2_then_gather():
     from montage_gan_tpu.training.augment import _HZ_GEOM
     f = np.asarray(_HZ_GEOM)
@@ -204,6 +217,7 @@ def test_fused_up2_matches_up2_then_gather():
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref), atol=1e-3)
 
 
+@quick
 def test_fused_up2_border_crop_exact():
     # upfirdn2d crops convolution tails at the plane borders; the fused
     # kernel's tap masks must reproduce that, exercised by sampling ON the
@@ -223,6 +237,7 @@ def test_fused_up2_border_crop_exact():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
 
 
+@slow
 def test_fused_grad_and_double_grad():
     from montage_gan_tpu.training.augment import _HZ_GEOM
     f = np.asarray(_HZ_GEOM)
@@ -257,6 +272,7 @@ def test_fused_grad_and_double_grad():
                                atol=3e-3)
 
 
+@slow
 def test_augment_pipe_matmul_matches_gather(monkeypatch):
     # The full ADA pipe with the matmul warp must reproduce the gather-path
     # output (same RNG stream ⇒ same matrices; only the warp differs).
@@ -291,6 +307,7 @@ def test_augment_pipe_matmul_matches_gather(monkeypatch):
                                atol=1e-2)
 
 
+@slow
 def test_tiled_vjp_is_adjoint_of_forward():
     # <g, W x> must equal <Wᵀ g, x> exactly (up to fp rounding) on the
     # TILED path within the coverage contract — the custom VJP pair must be
@@ -313,6 +330,7 @@ def test_tiled_vjp_is_adjoint_of_forward():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
 
 
+@slow
 def test_singular_theta_stays_finite():
     # A degenerate affine (zero scale on one axis) must not poison the
     # transpose's window math with inf/NaN (det guard in ops/affine_warp.py).
@@ -345,6 +363,7 @@ def _rand_translations(n, seed, scale=0.7):
 
 @pytest.mark.parametrize('pad_value', [0.0, -1.0])
 @pytest.mark.parametrize('hw', [(16, 16), (12, 20)])
+@quick
 def test_translate_matmul_matches_gather(pad_value, hw):
     h, w = hw
     x = jax.random.uniform(jax.random.PRNGKey(30), (4, h, w, 4),
@@ -356,6 +375,7 @@ def test_translate_matmul_matches_gather(pad_value, hw):
                                rtol=1e-5, atol=1e-5)
 
 
+@quick
 def test_translate_matmul_large_shift_fills_pad():
     # |t| > 2 pushes all content off-plane: the whole output is pad_value.
     x = jax.random.uniform(jax.random.PRNGKey(32), (2, 8, 8, 3), jnp.float32)
@@ -364,6 +384,7 @@ def test_translate_matmul_large_shift_fills_pad():
     np.testing.assert_allclose(np.asarray(got), -1.0, atol=1e-6)
 
 
+@slow
 def test_translate_matmul_grad_x_matches_gather():
     x = jax.random.uniform(jax.random.PRNGKey(33), (3, 10, 14, 2),
                            jnp.float32, -1.0, 1.0)
@@ -379,6 +400,7 @@ def test_translate_matmul_grad_x_matches_gather():
                                rtol=1e-4, atol=1e-5)
 
 
+@slow
 def test_translate_matmul_grad_t_matches_gather():
     # The STN trains its regressed translations THROUGH the warp
     # (reference fukuwarai/networks.py:195-222) — d/dt must match the
@@ -399,6 +421,7 @@ def test_translate_matmul_grad_t_matches_gather():
                                rtol=1e-3, atol=1e-4)
 
 
+@slow
 def test_translate_matmul_second_order():
     # Global Dreg (R1) differentiates through the frozen-G STN output only
     # via D, but the renderer/global-G grad-of-grad paths can touch the
@@ -423,6 +446,7 @@ def test_translate_matmul_second_order():
                                rtol=1e-3, atol=1e-4)
 
 
+@quick
 def test_translate_sample_dispatch_honors_impl_env(monkeypatch):
     # On CPU auto resolves to gather; forcing matmul must route through the
     # dense engine (observable: identical values, and the matmul path is

@@ -285,7 +285,7 @@ def test_ppl_crop_window_matches_reference():
     assert out.shape == (1, 8, 8, 1)
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_metric_feature_loops_on_mesh_match_single_device(tmp_path):
     """Mesh-sharded metric eval (the reference's calc_metrics --gpus DDP

@@ -25,7 +25,10 @@ from montage_gan_tpu.models.ensemble import MontageConfig
 from montage_gan_tpu.utils import flops as F
 from montage_gan_tpu.utils.calc_res import calc_init_res
 
-pytestmark = pytest.mark.quick
+# Quick tier: the pure-Python FLOP-model consistency checks. The
+# XLA-cost-analysis cross-checks (8-20 s of compiles each) are slow-tier.
+quick = pytest.mark.quick
+slow = pytest.mark.slow
 
 
 def xla_flops(fn, *args):
@@ -45,6 +48,7 @@ def _cfg(target=(64, 64), channel_base=8192, channel_max=256):
                          z_dim=128, w_dim=128)
 
 
+@slow
 def test_synthesis_forward_flops_match_xla():
     cfg = _cfg()
     init_res, res = cfg.layer_geometry(0)
@@ -66,6 +70,7 @@ def test_synthesis_forward_flops_match_xla():
         (analytic / 1e9, measured / 1e9)
 
 
+@slow
 def test_discriminator_forward_flops_match_xla():
     cfg = _cfg()
     init_res, res = cfg.layer_geometry(0)
@@ -85,6 +90,7 @@ def test_discriminator_forward_flops_match_xla():
         (analytic / 1e9, measured / 1e9)
 
 
+@quick
 def test_mapping_forward_flops_match_xla():
     cfg = _cfg()
     net = map_mod.MappingNetwork(z_dim=cfg.z_dim, c_dim=0, w_dim=cfg.w_dim,
@@ -100,6 +106,7 @@ def test_mapping_forward_flops_match_xla():
         (analytic / 1e6, measured / 1e6)
 
 
+@slow
 def test_backward_multiplier_matches_xla():
     """value_and_grad of a conv net compiles to ~3x the forward flops — the
     multiplier train_step_flops applies to every differentiated pass."""
@@ -123,6 +130,7 @@ def test_backward_multiplier_matches_xla():
     assert 2.3 <= ratio <= 3.6, ratio
 
 
+@quick
 def test_train_step_flops_scale():
     """The full-step analytic total at the bench config reproduces the
     round-2 audit number (~160 TFLOP/step at batch 32) — the figure that
@@ -137,7 +145,7 @@ def test_train_step_flops_scale():
     assert total / F.PEAK_BF16_FLOPS['v5e'] > 0.6  # > 600 ms/step
 
 
-@pytest.mark.quick
+@quick
 def test_phase_flops_consistent_with_total():
     """phase_flops (per-event, executor Timing keys) must recompose into the
     amortized train_step_flops exactly: sum the non-reg step, add each reg
@@ -181,7 +189,7 @@ def test_phase_flops_consistent_with_total():
         assert reg_step[f'local_{n}'] > base[f'local_{n}']
 
 
-@pytest.mark.quick
+@quick
 def test_bench_phase_report_covers_executor_timing_keys():
     """bench.phase_report must map every Timing/<phase> key the
     PhaseExecutor emits at the bench config to an analytic FLOPs entry

@@ -220,7 +220,7 @@ UP_SUBPIXEL_CASES = [
 ]
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 @pytest.mark.parametrize("case", UP_SUBPIXEL_CASES)
 def test_up_conv_subpixel_matches_dilated(case):
     """The subpixel phase decomposition must be exactly the dilated

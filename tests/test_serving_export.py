@@ -18,7 +18,11 @@ from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
 from montage_gan_tpu.utils import checkpoint as ckpt
 from montage_gan_tpu.utils import serving
 
-pytestmark = pytest.mark.quick
+# The module-scope ensemble fixture costs ~30 s to build; every test that
+# uses it is slow-tier so `pytest -m quick` never pays that setup. The
+# fixture-free format check stays quick.
+quick = pytest.mark.quick
+slow = pytest.mark.slow
 
 
 @pytest.fixture(scope='module')
@@ -45,6 +49,7 @@ def tiny(tmp_path_factory):
     return cfg2, ens2, tree, path
 
 
+@slow
 def test_roundtrip_matches_direct_execution(tiny):
     cfg, ens, tree, _ = tiny
     blob = serving.export_generator(cfg, ens, tree, platforms=('cpu',),
@@ -61,6 +66,7 @@ def test_roundtrip_matches_direct_execution(tiny):
                                rtol=1e-5, atol=1e-6)
 
 
+@slow
 def test_symbolic_batch_serves_multiple_sizes(tiny):
     cfg, ens, tree, _ = tiny
     blob = serving.export_generator(cfg, ens, tree, platforms=('cpu',))
@@ -72,6 +78,7 @@ def test_symbolic_batch_serves_multiple_sizes(tiny):
         assert img.shape == (b, 16, 16, 4)
 
 
+@slow
 def test_renderer_composite_differs_from_alpha(tiny):
     cfg, ens, tree, _ = tiny
     z = np.random.RandomState(2).randn(2, cfg.z_dim).astype(np.float32)
@@ -82,11 +89,13 @@ def test_renderer_composite_differs_from_alpha(tiny):
     assert not np.allclose(outs['alpha'], outs['renderer'])
 
 
+@quick
 def test_rejects_foreign_file():
     with pytest.raises(ValueError, match='magic'):
         serving.load_exported(b'\x00' * 64)
 
 
+@slow
 def test_export_model_cli(tiny, tmp_path):
     from click.testing import CliRunner
 
@@ -107,6 +116,7 @@ def test_export_model_cli(tiny, tmp_path):
 
 
 @pytest.mark.parametrize('comp', ['alpha', 'renderer'])
+@slow
 def test_generate_cli_msgpack_path(tiny, tmp_path, comp):
     """generate.py's snapshot path now routes through the same
     build_inference_fn the exporter freezes — pin the CLI end-to-end
