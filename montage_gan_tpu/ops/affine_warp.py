@@ -64,14 +64,23 @@ zeros instead of the true values — the forward then drops input pixels,
 and the transpose drops cotangent mass, so the VJP is the exact adjoint of
 the computed forward only while BOTH bounds hold.  At the ADA call site
 (training/augment.py: tile=32, block=64, tile_t=32, block_t=160, up=2,
-12 taps) the forward bound is ≈3.5 and the transpose bound ≈2.13.  Under
-ADA's transform law (iso & aniso scale each 2^N(0,0.2), rotation uniform)
-exceeding 2.13 magnification needs scale AND aniso active with a >2.6σ
-joint draw times a near-45° rotation — ≲0.1% of geometric-branch samples
-even at p=1, each losing only the window-edge sliver of its gradient.
-Raising ``block_t`` buys coverage at ~quadratic cost (weight-build VPU
-work ∝ block_t²/tile_t); callers with heavier-tailed transforms should
-raise ``block``/``block_t`` accordingly.
+12 taps) the forward bound is ≈3.5 and the transpose bound ≈2.13.
+
+MEASURED contract under ADA's bgcfnc transform law at the 256-px shape
+(10⁵ draws through the production sampler, conservative position-worst-
+case check — tests/test_affine_warp.py::test_coverage_violation_rate):
+forward violations 0; transpose violations 0.87% of samples at p=1 and
+0.24% at the AIO production ceiling p=0.6 (aug_p_max).  Severity is
+tail-dominated: the MEDIAN violator loses <0.1% of that sample's
+augment-path gradient (the check overcounts near-misses), and the worst
+draw in 10⁵ loses ~40% of that one sample's contribution (≈1.3% of a
+batch-32 gradient, expected batch-gradient corruption ~1e-6 relative).
+``coverage_excess`` computes the per-sample check; raising ``block_t``
+buys coverage at ~linear cost in the transpose's window area
+(block_t 192 → 0.05% rate at p=1, 224 → 2e-5, 256 → 0 in 10⁵), and the
+ADA call site exposes ``MGT_WARP_GUARD=1`` — a per-batch exact-gather
+fallback for out-of-contract thetas.  Callers with heavier-tailed
+transform laws should raise ``block``/``block_t`` or enable the guard.
 
 Differentiation: the op is linear in ``x``; forward and transpose are a
 mutually-referencing ``jax.custom_vjp`` pair (the round-1 upfirdn2d pattern,
@@ -463,6 +472,72 @@ def _warpT_bwd(spec, theta, dd):
 
 
 _warpT.defvjp(_warpT_fwd, _warpT_bwd)
+
+
+# --------------------------- coverage contract ----------------------------
+
+def coverage_excess(theta: jax.Array, in_h: int, in_w: int,
+                    out_h: int, out_w: int, *,
+                    tile: int = 32, block: int = 128,
+                    tile_t: Optional[int] = None,
+                    block_t: Optional[int] = None,
+                    up: int = 1, n_taps: int = 1) -> Tuple[jax.Array,
+                                                           jax.Array]:
+    """Per-sample coverage-bound excess of both warp directions (≤ 0 = the
+    engine's windows provably cover every tile's footprint; > 0 = some
+    window MAY clamp and drop taps/cotangent mass — see the module
+    docstring's coverage contract).
+
+    The check is position-independent (the footprint *span* of an affine
+    map is the same for every tile) and uses the integer-grid worst case
+    over fractional positions, so it can only overcount violations, never
+    miss one.  Works on numpy or traced arrays (pure jnp math, [N] out) —
+    shared by the measurement test (tests/test_affine_warp.py) and the
+    optional runtime guard at the ADA call site (training/augment.py,
+    ``MGT_WARP_GUARD``).
+
+    Args mirror ``affine_warp``; ``n_taps`` is ``len(up_filter)`` (1 for
+    the plain bilinear hat).  Returns ``(fwd_excess, bwd_excess)`` in
+    stored-tap / cotangent-row units respectively.
+    """
+    tile_t = tile_t or tile
+    block_t = block_t or block
+    lo = n_taps / up
+    hi = 1.0 / up
+    hv, wv = in_h * up, in_w * up
+    bw, bh = min(block, in_w), min(block, in_h)
+    gbh, gbw = min(block_t, out_h), min(block_t, out_w)
+    theta = jnp.asarray(theta, jnp.float32)
+    a = jnp.abs(theta)
+
+    # Forward: source-footprint span of one output tile, in stored units.
+    # d(sx_stored)/d(out_px_x) = a00·wv/(up·out_w) etc. (_source_coords).
+    sx_span = (a[:, 0, 0] * wv / out_w + a[:, 0, 1] * wv / out_h) \
+        * (tile - 1) / up
+    sy_span = (a[:, 1, 0] * hv / out_w + a[:, 1, 1] * hv / out_h) \
+        * (tile - 1) / up
+    # taps needed ≤ span + lo + hi + 1 (integer-grid worst case); a window
+    # that already covers the whole plane (bw == in_w) cannot clamp
+    fwd = jnp.maximum(
+        jnp.where(bw < in_w, sx_span + lo + hi + 1.0 - bw, 0.0),
+        jnp.where(bh < in_h, sy_span + lo + hi + 1.0 - bh, 0.0))
+
+    # Transpose: output-plane span (pixels) of the preimage of one
+    # support-expanded input tile, via the inverse pixel-space Jacobian.
+    jxx = theta[:, 0, 0] * wv / (up * out_w)
+    jxy = theta[:, 0, 1] * wv / (up * out_h)
+    jyx = theta[:, 1, 0] * hv / (up * out_w)
+    jyy = theta[:, 1, 1] * hv / (up * out_h)
+    det = jxx * jyy - jxy * jyx
+    det = jnp.where(jnp.abs(det) < 1e-12,
+                    jnp.where(det < 0, -1e-12, 1e-12), det)
+    span = tile_t - 1 + lo + hi   # stored units, both axes
+    need_x = (jnp.abs(jyy / det) + jnp.abs(jxy / det)) * span + 1.0
+    need_y = (jnp.abs(jyx / det) + jnp.abs(jxx / det)) * span + 1.0
+    bwd = jnp.maximum(
+        jnp.where(gbw < out_w, need_x - gbw, 0.0),
+        jnp.where(gbh < out_h, need_y - gbh, 0.0))
+    return fwd, bwd
 
 
 # ------------------------------- public op --------------------------------

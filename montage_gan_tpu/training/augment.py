@@ -27,6 +27,7 @@ reference's probability gating exactly.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -243,20 +244,24 @@ def augment_pipe(images: jax.Array,
         return _augment_pipe(images, p, key, cfg, debug_percentile)
 
 
-def _augment_pipe(images, p, key, cfg, debug_percentile):
-    batch, height, width, num_channels = images.shape
+def _key_stream(key):
     import itertools
-    _counter = itertools.count()
-    keys = iter(jax.random.fold_in(key, i) for i in _counter)
-    dp = debug_percentile
+    return iter(jax.random.fold_in(key, i) for i in itertools.count())
 
-    def gate(k, prob, value, identity):
-        take = jax.random.uniform(k, [batch]) < prob
-        return jnp.where(take.reshape([-1] + [1] * (value.ndim - 1)), value, identity)
 
-    # ----------------------- pixel blitting + geometric ------------------
+def gate(k, prob, value, identity):
+    take = jax.random.uniform(k, [value.shape[0]]) < prob
+    return jnp.where(take.reshape([-1] + [1] * (value.ndim - 1)), value,
+                     identity)
+
+
+def _sample_geom_inverse(keys, p, cfg, batch, height, width, dp):
+    """Sample the composed inverse homography of the pixel-blit + geometric
+    sections (reference training/augment.py:237-303) — factored out so the
+    warp coverage test measures the TRUE production theta law
+    (tests/test_affine_warp.py) from the same code and RNG stream the pipe
+    uses."""
     G_inv = jnp.tile(jnp.eye(3, dtype=jnp.float32), (batch, 1, 1))
-    have_geom = cfg.any_blit or cfg.any_geom
 
     if cfg.xflip > 0:
         i = jnp.floor(jax.random.uniform(next(keys), [batch]) * 2)
@@ -310,31 +315,78 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
         if dp is not None:
             t = jnp.full_like(t, _erfinv(dp * 2 - 1) * cfg.xfrac_std)
         G_inv = G_inv @ translate2d_inv(t[:, 0] * width, t[:, 1] * height)
+    return G_inv
+
+
+def _warp_geometry(cfg: AugmentConfig, height: int, width: int):
+    """Static plane geometry of the geometric branch: reflect margins,
+    padded input size, and warp output size."""
+    hz_pad = _HZ_GEOM.shape[0] // 4
+    # per-axis margins: non-square inputs (the local-D layer crops) need
+    # the height margin sized by height — a width-derived margin would
+    # under-reflect vertically and read pad zeros where the reference's
+    # data-dependent margin reflects real content (augment.py:311-326)
+    mx, my = cfg.geom_margin, cfg.geom_margin
+    if mx is None:
+        mx = min(width // 4 + hz_pad * 2, width - 1)
+        my = min(height // 4 + hz_pad * 2, height - 1)
+    # output grid over the (unpadded-size + filter support) ×2 canvas,
+    # sampled from the ×2-upsampled padded plane
+    out_h, out_w = (height + hz_pad * 2) * 2, (width + hz_pad * 2) * 2
+    return hz_pad, mx, my, height + 2 * my, width + 2 * mx, out_h, out_w
+
+
+def _normalize_geom_matrix(G_inv, batch, pad_h, pad_w, out_h, out_w):
+    """Rescale the unit-square homography into the normalized affine_grid
+    convention over the ×2-upsampled padded plane (the warp's theta)."""
+    G = scale2d(2.0, 2.0)[None] @ G_inv @ scale2d_inv(2.0, 2.0)[None]
+    G = translate2d(-0.5, -0.5)[None] @ G @ translate2d_inv(-0.5, -0.5)[None]
+    G = G.reshape(batch, 3, 3)
+    in_h, in_w = pad_h * 2, pad_w * 2
+    return (scale2d(2.0 / in_w, 2.0 / in_h).reshape(1, 3, 3) @ G
+            @ scale2d_inv(2.0 / out_w, 2.0 / out_h).reshape(1, 3, 3))
+
+
+def sample_warp_theta(key, p, cfg: AugmentConfig, batch: int,
+                      height: int, width: int):
+    """The exact theta distribution reaching the geometric-branch warp call
+    for ``[batch, height, width, C]`` inputs at augment probability ``p`` —
+    same sampling code and RNG stream as the pipe itself.  Returns
+    ``(theta [B,2,3], pad_h, pad_w, out_h, out_w)`` where pad_* is the
+    stored (reflect-padded, 1×) plane the warp reads.  Used by the coverage
+    contract measurement (tests/test_affine_warp.py)."""
+    keys = _key_stream(key)
+    G_inv = _sample_geom_inverse(keys, p, cfg, batch, height, width, None)
+    _, _, _, pad_h, pad_w, out_h, out_w = _warp_geometry(cfg, height, width)
+    G = _normalize_geom_matrix(G_inv, batch, pad_h, pad_w, out_h, out_w)
+    return G[:, :2, :], pad_h, pad_w, out_h, out_w
+
+
+def _augment_pipe(images, p, key, cfg, debug_percentile):
+    batch, height, width, num_channels = images.shape
+    keys = _key_stream(key)
+    dp = debug_percentile
+
+    # ----------------------- pixel blitting + geometric ------------------
+    have_geom = cfg.any_blit or cfg.any_geom
+    G_inv = _sample_geom_inverse(keys, p, cfg, batch, height, width, dp)
 
     if have_geom:
-        hz_pad = _HZ_GEOM.shape[0] // 4
-        # per-axis margins: non-square inputs (the local-D layer crops) need
-        # the height margin sized by height — a width-derived margin would
-        # under-reflect vertically and read pad zeros where the reference's
-        # data-dependent margin reflects real content (augment.py:311-326)
-        mx, my = cfg.geom_margin, cfg.geom_margin
-        if mx is None:
-            mx = min(width // 4 + hz_pad * 2, width - 1)
-            my = min(height // 4 + hz_pad * 2, height - 1)
+        hz_pad, mx, my, pad_h, pad_w, out_h, out_w = _warp_geometry(
+            cfg, height, width)
         # reflect-pad (symmetric static margin ⇒ no origin shift)
         x = jnp.pad(images, [(0, 0), (my, my), (mx, mx), (0, 0)],
                     mode='reflect')
-        G = scale2d(2.0, 2.0)[None] @ G_inv @ scale2d_inv(2.0, 2.0)[None]
-        G = translate2d(-0.5, -0.5)[None] @ G @ translate2d_inv(-0.5, -0.5)[None]
-        G = G.reshape(batch, 3, 3)
-        # output grid over the (unpadded-size + filter support) ×2 canvas,
-        # sampled from the ×2-upsampled padded plane
-        out_h, out_w = (height + hz_pad * 2) * 2, (width + hz_pad * 2) * 2
-        in_h, in_w = x.shape[1] * 2, x.shape[2] * 2
-        G = (scale2d(2.0 / in_w, 2.0 / in_h).reshape(1, 3, 3) @ G
-             @ scale2d_inv(2.0 / out_w, 2.0 / out_h).reshape(1, 3, 3))
-        from ..ops.affine_warp import affine_warp, use_matmul_warp
+        G = _normalize_geom_matrix(G_inv, batch, pad_h, pad_w, out_h, out_w)
+        from ..ops.affine_warp import (affine_warp, coverage_excess,
+                                       use_matmul_warp)
         from ..ops.grid_sample import affine_grid
+
+        def _gather_warp(xx):
+            xx = upsample2d(xx, _HZ_GEOM, up=2)
+            grid = affine_grid(G[:, :2, :], out_h, out_w)
+            return grid_sample(xx, grid)
+
         if use_matmul_warp():
             # Dense-matmul warp engine with the ×2 upsample fused into the
             # sampling kernel (exact — see ops/affine_warp.py): the warp
@@ -342,17 +394,42 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
             # shape (mb16, 396→524 fused ×2): fwd 31 vs 215 ms, bwd 131 vs
             # 1464 ms against up2+gather on a v5e.  Tile/block/chunk values
             # are the swept optimum at that shape.  Coverage at these values
-            # (see ops/affine_warp.py module docstring): |J| ≤ ~3.5 forward,
-            # |J⁻¹| ≤ ~2.13 transpose — ≲0.1% of geometric draws (joint
-            # >2.6σ scale·aniso magnification at near-45° rotation) lose the
-            # window-edge sliver of their gradient; raise block_t for
+            # (measured contract in the ops/affine_warp.py docstring):
+            # |J| ≤ ~3.5 forward (0 violations in 1e5 draws), |J⁻¹| ≤ ~2.13
+            # transpose — 0.24% of draws at the production ceiling p=0.6
+            # lose gradient mass, median loss <0.1% of that sample's
+            # augment gradient; raise block_t or set MGT_WARP_GUARD=1 for
             # heavier-tailed transform laws.
-            x = affine_warp(x, G[:, :2, :], out_h, out_w,
-                            up=2, up_filter=_HZ_GEOM, **WARP_TUNE)
+            if os.environ.get('MGT_WARP_GUARD', '0') == '1':
+                # Runtime escape hatch for out-of-contract thetas: when any
+                # sample in the batch exceeds a coverage bound, the whole
+                # batch falls back to the exact gather path for this call.
+                # Measured rates/severity at the default ADA law are in the
+                # ops/affine_warp.py docstring (0.24% of samples at the
+                # production p=0.6, median violator loses <0.1% of its own
+                # augment gradient; pinned by tests/test_affine_warp.py::
+                # test_coverage_violation_rate).  Off by default: expected
+                # batch-gradient corruption is ~1e-6, while the guard makes
+                # ~4-13% of batches (batch 16-32 at p≥0.6) pay the ~10×
+                # gather cost and compiles the gather VJP chain into every
+                # D program.  Turn on for heavier-tailed transform laws.
+                fwd_ex, bwd_ex = coverage_excess(
+                    G[:, :2, :], x.shape[1], x.shape[2], out_h, out_w,
+                    tile=WARP_TUNE['tile'], block=WARP_TUNE['block'],
+                    tile_t=WARP_TUNE['tile_t'], block_t=WARP_TUNE['block_t'],
+                    up=2, n_taps=int(_HZ_GEOM.shape[0]))
+                violated = jnp.any((fwd_ex > 0) | (bwd_ex > 0))
+                x = jax.lax.cond(
+                    violated, _gather_warp,
+                    lambda xx: affine_warp(xx, G[:, :2, :], out_h, out_w,
+                                           up=2, up_filter=_HZ_GEOM,
+                                           **WARP_TUNE),
+                    x)
+            else:
+                x = affine_warp(x, G[:, :2, :], out_h, out_w,
+                                up=2, up_filter=_HZ_GEOM, **WARP_TUNE)
         else:
-            x = upsample2d(x, _HZ_GEOM, up=2)
-            grid = affine_grid(G[:, :2, :], out_h, out_w)
-            x = grid_sample(x, grid)
+            x = _gather_warp(x)
         images = downsample2d(x, _HZ_GEOM, down=2, padding=-hz_pad * 2,
                               flip_filter=True)
 
