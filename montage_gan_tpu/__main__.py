@@ -16,6 +16,7 @@ def cli():
 
 def _register():
     from .cli.calc_metrics import main as calc_metrics
+    from .cli.check_weights import main as check_weights
     from .cli.compare_renderers import main as compare_renderers
     from .cli.convert_pickle import main as convert_pickle
     from .cli.dataset_tool import main as dataset_tool
@@ -39,7 +40,8 @@ def _register():
                       ('pretrain-renderer', pretrain_renderer),
                       ('pretrain-stn', pretrain_stn),
                       ('compare-renderers', compare_renderers),
-                      ('convert-pickle', convert_pickle)]:
+                      ('convert-pickle', convert_pickle),
+                      ('check-weights', check_weights)]:
         cli.add_command(cmd, name=name)
 
 

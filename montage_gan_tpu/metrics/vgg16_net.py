@@ -180,6 +180,23 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray],
     return params
 
 
+def init_random(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Random parameters with the real shapes (for tests)."""
+    rng = np.random.RandomState(seed)
+    params: Dict[str, np.ndarray] = {}
+    cin = 3
+    for name, cout in CONFIG:
+        if name.startswith('pool'):
+            continue
+        params[f'{name}_w'] = (rng.randn(3, 3, cin, cout)
+                               / np.sqrt(9 * cin)).astype(np.float32)
+        params[f'{name}_b'] = (rng.randn(cout) * 0.1).astype(np.float32)
+        cin = cout
+    for i, c in enumerate(TAP_CHANNELS):
+        params[f'lin{i}'] = np.full((c,), 1.0 / c, np.float32)
+    return params
+
+
 def save_params(params: Dict[str, np.ndarray], path: str) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 

@@ -177,3 +177,74 @@ def test_convert_cli_roundtrip(tmp_path):
     assert set(params) == set(direct)
     np.testing.assert_allclose(params['Mixed_7c.branch_pool'],
                                direct['Mixed_7c.branch_pool'], atol=1e-7)
+
+
+def test_fid_e2e_through_converter_path(tmp_path, monkeypatch):
+    """End-to-end FID with REAL-SHAPED randomly-initialized detector weights
+    through the FULL supply chain a user follows (round-2 review item #6):
+    torch .pth on disk → convert_inception CLI → MGT_INCEPTION_WEIGHTS →
+    build_extractor('auto') picks the real InceptionV3 → FeatureStats →
+    compute_fid_from_stats.  Identical sets give FID ≈ 0; disjoint sets give
+    a clearly larger, finite FID."""
+    from montage_gan_tpu.metrics.features import (InceptionV3Features,
+                                                  build_extractor)
+    from montage_gan_tpu.metrics.frechet_inception_distance import \
+        compute_fid_from_stats
+    from montage_gan_tpu.metrics.metric_utils import FeatureStats
+    from montage_gan_tpu.utils import convert_inception
+
+    sd = make_random_state_dict(3)
+    src, dst = str(tmp_path / 'in.pth'), str(tmp_path / 'out.npz')
+    torch.save(sd, src)
+    convert_inception.main([src, dst])
+    monkeypatch.setenv('MGT_INCEPTION_WEIGHTS', dst)
+    ext = build_extractor('auto')
+    assert isinstance(ext, InceptionV3Features)  # not the random fallback
+
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 60, a.shape), 0, 255).astype(np.float32)
+
+    def stats(images):
+        st = FeatureStats(capture_mean_cov=True, max_items=len(images))
+        st.append(np.asarray(ext(jnp.asarray(images))))
+        return st.get_mean_cov()
+
+    ma, Sa = stats(a)
+    mb, Sb = stats(b)
+    fid_same = compute_fid_from_stats(ma, Sa, ma, Sa)
+    fid_diff = compute_fid_from_stats(ma, Sa, mb, Sb)
+    # random weights discriminate weakly — this asserts the PLUMBING
+    # (converted weights loaded, real net ran, FID math finite & ordered),
+    # not detector quality
+    assert abs(fid_same) < 1e-6
+    assert np.isfinite(fid_diff) and fid_diff > max(abs(fid_same) * 10, 1e-6)
+
+
+def test_check_weights_cli(tmp_path, monkeypatch):
+    """`check-weights` (cli/check_weights.py): rc 1 + actionable one-liners
+    when detectors are missing; rc 0 when both env vars point at loadable
+    converted weights."""
+    from click.testing import CliRunner
+
+    from montage_gan_tpu.cli.check_weights import main as check_weights
+
+    runner = CliRunner()
+    monkeypatch.delenv('MGT_INCEPTION_WEIGHTS', raising=False)
+    monkeypatch.delenv('MGT_VGG16_WEIGHTS', raising=False)
+    res = runner.invoke(check_weights, [])
+    assert res.exit_code == 1
+    assert 'convert_inception' in res.output
+    assert 'convert_vgg16' in res.output
+    assert 'RELATIVE' in res.output
+
+    inc = str(tmp_path / 'inception.npz')
+    inception_net.save_params(inception_net.init_random(0), inc)
+    from montage_gan_tpu.metrics import vgg16_net
+    vgg = str(tmp_path / 'vgg16.npz')
+    vgg16_net.save_params(vgg16_net.init_random(0), vgg)
+    monkeypatch.setenv('MGT_INCEPTION_WEIGHTS', inc)
+    monkeypatch.setenv('MGT_VGG16_WEIGHTS', vgg)
+    res = runner.invoke(check_weights, [])
+    assert res.exit_code == 0, res.output
+    assert 'ABSOLUTE' in res.output
