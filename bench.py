@@ -1,38 +1,125 @@
 """Benchmark: MontageGAN all-in-one training throughput on one chip.
 
-Measures imgs/sec of the full jitted AIO train step (9 local GAN G/D phases +
+Measures imgs/sec of the full AIO train step (9 local GAN G/D phases +
 global GAN + renderer, lazy-reg masks amortized) at the reference's canonical
 cfg 'aio' geometry: 9 RGBA layers, 256px base, batch 32
 (reference: train_aio.py:179-184, main.py:7-16).
 
 Prints ONE JSON line:
   {"metric": "train_aio imgs/sec/chip @256px", "value": N,
-   "unit": "imgs/sec", "vs_baseline": N}
+   "unit": "imgs/sec", "vs_baseline": N, "mfu": N, ...}
 
-``vs_baseline`` normalizes against BASELINE_IMGS_PER_SEC, an *estimate* of the
-PyTorch reference's train_aio throughput on one A100 (the reference publishes
-no numbers — BASELINE.md; the north-star target is ≥2× that estimate).
+``vs_baseline`` normalizes against BASELINE_IMGS_PER_SEC, an *estimate* of
+the PyTorch reference's train_aio throughput on one A100 (the reference
+publishes no numbers — BASELINE.md documents the derivation).  Because one
+v5e has ~0.63× the bf16 peak of an A100, the software-efficiency headline is
+``mfu`` (measured FLOP/s over the chip's peak); the imgs/sec ratio is a
+hardware statement as much as a software one.
+
+The bench is budget-aware (a measurement instrument, not a script):
+  * ``MGT_BENCH_BUDGET_S`` (default 1200) — wall-clock budget from process
+    start.  The timed window emits after MIN_WINDOW=16 steps (exactly one
+    D-reg interval: 1 R1 event + 4 PL events) and stops early if the budget
+    runs out; a full run measures MEASURE_STEPS (default 32, override with
+    ``MGT_BENCH_STEPS``).  The window always starts at a step index ≡ 0
+    (mod 16), so ANY multiple-of-16 truncation has the exact amortized
+    reg-phase composition — truncation can never flatter the number.
+  * SIGTERM (what ``timeout`` sends) emits the best partial result before
+    dying, so even an rc=124 run leaves a parseable JSON line.
+  * every phase of the first step logs its compile/load wall-time to
+    stderr as it completes — a stalled cold-cache run is diagnosable.
+  * the persistent compile-cache state (entries found / added) is logged at
+    start and end, so a cold cache announces itself.
+
+State initialization runs as ONE jitted on-device program — no host-side
+init, no multi-GB pickle, no ~8 GB device transfer over the (slow) tunneled
+PJRT transport; the init program itself lands in the persistent cache.
 """
 
 import json
 import os
+import signal
 import sys
 import time
+
+T_START = time.time()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# TPU compile artifacts are architecture-stable on this machine; cache them so
-# repeat bench runs skip the (remote-relay, very slow) compiles.  Enabled
-# AFTER the CPU-side init below — CPU artifacts from the remote-compile relay
-# can target a different host CPU and must not be cached (SIGILL risk).
+# TPU compile artifacts are architecture-stable on this machine; cache them
+# so repeat bench runs load (seconds) instead of compile (minutes each over
+# the remote relay).  Everything this process compiles targets the TPU, so
+# the cache is enabled for the whole run (the CPU-artifact SIGILL hazard of
+# earlier revisions came from host-side CPU init, which no longer exists).
 TPU_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_tpu_cache")
 
+# Estimated reference (PyTorch, A100) train_aio throughput at cfg 'aio'.
+# The reference publishes no benchmarks; BASELINE.md ("Deriving the A100
+# anchor") shows the audited arithmetic: 27.5 imgs/sec published SG2-ADA
+# 256px 1×V100 × 2.0 A100 uplift ÷ 12.06 (analytic AIO/SG2 FLOP ratio,
+# utils/flops.py) ≈ 4.6, rounded UP to 5.0 against ourselves.  Replaces
+# round-2's unaudited 25.0.  Revisit when a measured number exists.
+BASELINE_IMGS_PER_SEC = 5.0
+
+BATCH = 32
+# Minimum honest window: one full D-reg interval (exactly 1 R1 event and 4
+# PL events per 16 steps at the canonical intervals 16/4).
+MIN_WINDOW = 16
+MEASURE_STEPS = int(os.environ.get('MGT_BENCH_STEPS', '32'))
+BUDGET_S = float(os.environ.get('MGT_BENCH_BUDGET_S', '1200'))
+# Timed window starts here: ≡ 0 (mod 16) so any multiple-of-16 prefix has
+# the exact amortized reg composition, and mid-interval truncation can only
+# OVERcount reg events (conservative).
+WINDOW_START_IDX = 16
+# Warmup step indices: idx 0 compiles the full-reg combo + the whole tail,
+# idx 4 the G-reg-only combo, idx 1/2 the no-reg combo (twice, the second
+# with per-phase timing for the TF/s dashboard).
+WARMUP_STEP_IDXS = (4, 1, 2)
+
+_partial_result = {}
+
 
 def _log(msg):
-    print(f"# {msg}", file=sys.stderr, flush=True)
+    print(f"# [{time.time() - T_START:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _on_sigterm(signum, frame):
+    # timeout(1) sends SIGTERM: flush the best partial result so the driver
+    # still gets a parseable line out of an over-budget run.  os._exit, not
+    # sys.exit: the main thread is usually blocked inside a C++ runtime call
+    # that defers (or swallows) the SystemExit, and a handler that returns
+    # lets the over-budget run keep going.
+    if _partial_result:
+        _partial_result['note'] = 'partial: SIGTERM before full window'
+        _emit(_partial_result)
+    else:
+        _log("SIGTERM before any measured step — no result to emit")
+    os._exit(1)
+
+
+signal.signal(signal.SIGTERM, _on_sigterm)
+
+
+def _budget_left():
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _cache_status():
+    try:
+        files = [f for f in os.listdir(TPU_CACHE_DIR) if f.endswith('-cache')]
+        mb = sum(os.path.getsize(os.path.join(TPU_CACHE_DIR, f))
+                 for f in files) / 1e6
+        return len(files), mb
+    except OSError:
+        return 0, 0.0
 
 
 def _is_transient(e) -> bool:
@@ -41,19 +128,6 @@ def _is_transient(e) -> bool:
     msg = str(e)
     return ('UNAVAILABLE' in msg or 'Connection refused' in msg
             or 'Connection reset' in msg or 'transport' in msg)
-
-# Estimated reference (PyTorch, A100) train_aio throughput at cfg 'aio'.
-# The reference publishes no benchmarks (BASELINE.md); this anchor is derived
-# from SG2-ADA's published 256px training speed scaled by MontageGAN's ~11
-# sequential phase passes per batch. Revisit when a measured number exists.
-BASELINE_IMGS_PER_SEC = 25.0
-
-BATCH = 32
-# warmup step indices chosen to compile/warm EVERY reg-combo program before
-# the timed window: the first step (idx 0) warms the full-reg combo + all
-# tail variants, idx 4 warms G-reg-only, idx 1/2 the no-reg combo
-WARMUP_STEP_IDXS = (4, 1, 2)
-MEASURE_STEPS = 32  # two full D-reg intervals → amortized lazy-reg cost included
 
 
 def phase_report(stats, cfg, hyper, step_idx):
@@ -76,14 +150,110 @@ def phase_report(stats, cfg, hyper, step_idx):
     return lines
 
 
+def warp_selftest():
+    """On-chip guard for the production TPU configuration: the full train
+    step with the MXU matmul ADA warp (``MGT_WARP_IMPL=auto`` resolves to
+    ``matmul`` on TPU).  CI cannot cover this combination — forcing the
+    matmul warp inside the monolithic step on XLA:CPU hits a backend fusion
+    miscompile (docs/GAPS.md) — so this is its automated check: run a
+    tiny-config full train step twice (matmul vs gather warp) from identical
+    state with the geometric augment branch forced active (aug_p = 1) and
+    assert the two runs agree.  Reference contract: the exact gather VJP the
+    matmul engine replaces (torch_utils/ops/grid_sample_gradfix.py:68-88).
+    """
+    from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
+    from montage_gan_tpu.training.augment import AugmentConfig
+    from montage_gan_tpu.training.train_step import MontageTrainer, TrainHyper
+
+    cfg = MontageConfig(
+        layer_names=('a', 'b'), layer_targets=((32, 32), (16, 8)),
+        base_resolution=32, conv_config_index=2,
+        z_dim=32, w_dim=32, mapping_num_layers=2,
+        channel_base=512, channel_max=32, num_fp16_res=0,
+        mbstd_group_size=4, stn_stages=2,
+        train_global=True, renderer_type='tanh')
+    ens = MontageEnsemble(cfg)
+    # geometric branch on (scale/rotate/aniso/xfrac exercise the warp);
+    # batch 8 = the size class where the CPU miscompile reproduces
+    aug = AugmentConfig(xflip=1, scale=1, rotate=1, aniso=1, xfrac=1,
+                        brightness=1, noise=1)
+    hyper = TrainHyper(batch_size=8, augment=aug, ada_target=0.6,
+                       augment_p_init=1.0, g_reg_interval=2,
+                       d_reg_interval=2, pl_batch_shrink=2)
+    trainer = MontageTrainer(ens, hyper)
+    state = jax.jit(lambda k: trainer.init_state(k, batch=4, on_cpu=False))(
+        jax.random.PRNGKey(3))
+    kd = jax.random.PRNGKey(4)
+    stack = jax.random.uniform(kd, (8, 2, 32, 32, 4), minval=-1., maxval=1.)
+    crops = tuple(
+        jax.random.uniform(jax.random.fold_in(kd, i), (8,) + t + (4,),
+                           minval=-1., maxval=1.)
+        for i, t in enumerate(cfg.layer_targets))
+
+    prev = os.environ.get('MGT_WARP_IMPL')
+    outs = {}
+    try:
+        for impl in ('matmul', 'gather'):
+            os.environ['MGT_WARP_IMPL'] = impl
+            t0 = time.time()
+            # fresh jit wrapper per impl: the env var is read at trace time
+            new_state, stats = jax.jit(trainer.train_step)(
+                state, stack, crops, jax.random.PRNGKey(7))
+            params = jax.device_get(
+                {'v': new_state.variables, 'e': new_state.ema})
+            stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            _log(f"selftest[{impl}]: step ran in {time.time() - t0:.1f}s")
+            outs[impl] = (params, stats)
+    finally:
+        if prev is None:
+            os.environ.pop('MGT_WARP_IMPL', None)
+        else:
+            os.environ['MGT_WARP_IMPL'] = prev
+
+    (pa, sa), (pb, sb) = outs['matmul'], outs['gather']
+    la = jax.tree_util.tree_leaves(pa)
+    lb = jax.tree_util.tree_leaves(pb)
+    # Adam-normalized updates bound a one-step param divergence by ~2·lr per
+    # entry; 3·lr catches a garbage warp (the miscompile class) while
+    # tolerating engine numerics (HIGH-precision matmul vs f32 gather).
+    tol = 3.0 * hyper.lrate + 1e-6
+    worst = 0.0
+    for a, b in zip(la, lb):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), "selftest: non-finite params (matmul)"
+        worst = max(worst, float(np.max(np.abs(a - b))) if a.size else 0.0)
+    assert worst <= tol, \
+        f"selftest FAILED: matmul-warp step diverges from gather " \
+        f"(max param diff {worst:.2e} > {tol:.2e})"
+    s_worst, s_key = 0.0, ''
+    for k, vb in sb.items():
+        va = sa[k]
+        assert np.isfinite(va), f"selftest: non-finite stat {k} (matmul)"
+        rel = abs(va - vb) / (1.0 + abs(vb))
+        if rel > s_worst:
+            s_worst, s_key = rel, k
+    assert s_worst <= 0.15, \
+        f"selftest FAILED: stat {s_key} diverges (rel {s_worst:.3f})"
+    _log(f"selftest OK: max param diff {worst:.2e} (tol {tol:.1e}), "
+         f"max stat rel-diff {s_worst:.3f} ({s_key or 'n/a'})")
+
+
 def main():
+    _log(f"budget {BUDGET_S:.0f}s, target {MEASURE_STEPS} measured steps "
+         f"(min window {MIN_WINDOW})")
+    n0, mb0 = _cache_status()
+    _log(f"compile cache: {n0} entries, {mb0:.0f} MB at {TPU_CACHE_DIR}")
+    jax.config.update("jax_compilation_cache_dir", TPU_CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from montage_gan_tpu.data.synthetic import synthetic_batch
     from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
     from montage_gan_tpu.training.augment import make_augment_config
     from montage_gan_tpu.training.train_step import MontageTrainer, TrainHyper
     from montage_gan_tpu.utils.image_utils import make_batch_for_local_d_np
-
     from montage_gan_tpu.training.phase_exec import PhaseExecutor
+    from montage_gan_tpu.utils.flops import (PEAK_BF16_FLOPS, mfu,
+                                             phase_flops, train_step_flops)
     from montage_gan_tpu.utils.platform import select_platform
     select_platform()  # honors MGT_PLATFORM
 
@@ -106,45 +276,21 @@ def main():
     trainer = MontageTrainer(ens, hyper)
     executor = PhaseExecutor(trainer)
 
-    init_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_init_state.pkl")
-    if os.path.exists(init_cache):
-        import pickle
-        _log("loading cached initial state...")
-        with open(init_cache, 'rb') as f:
-            state = pickle.load(f)
-    else:
-        _log("initializing variables on CPU backend...")
-        t0 = time.time()
-        # init with a small batch: flax params are batch-independent, and the
-        # init forward traces run eagerly on one CPU — batch 32 made first-run
-        # init take ~1h; batch 4 (the mbstd group size) is ~8x cheaper
-        state = trainer.init_state(jax.random.PRNGKey(0), batch=4)
-        _log(f"init done in {time.time() - t0:.0f}s")
-        import pickle
-        state_host = jax.device_get(state)
-        with open(init_cache, 'wb') as f:
-            pickle.dump(state_host, f)
-        state = state_host
-
-    # enable the (TPU-only) persistent compile cache from here on
-    jax.config.update("jax_compilation_cache_dir", TPU_CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # On-device init: ONE jitted program builds the whole train state on the
+    # chip (params, EMA copies, Adam zeros).  Compiles once (cached); costs
+    # no host→device transfer at all.
+    _log("initializing state on-device (jitted init program)...")
+    t0 = time.time()
+    init_fn = jax.jit(lambda k: trainer.init_state(k, batch=4, on_cpu=False))
+    state0 = init_fn(jax.random.PRNGKey(0))
+    jax.device_get(state0.step)
+    _log(f"on-device init done in {time.time() - t0:.1f}s")
 
     rng = np.random.RandomState(0)
     stack01 = synthetic_batch(rng, BATCH, cfg.num_layers, cfg.base_resolution)
     crops = tuple(jnp.asarray(c) for c in make_batch_for_local_d_np(
         stack01, [list(t) for t in cfg.layer_targets], to_minus11=True))
     stack = jnp.asarray(stack01 * 2.0 - 1.0)
-
-    # ``state`` is still the HOST copy here.  The whole run (device_put →
-    # warmup → timed window) retries as a unit on transient transport
-    # failures: the executor's phase programs DONATE their input state
-    # buffers, so after any mid-run failure the device state is
-    # unrecoverable — the only safe restart point is a fresh device_put of
-    # the initial host state.  Programs stay compiled across attempts, so a
-    # retry costs seconds, not the compile hour.
-    state_host = state
 
     # NOTE on synchronization: jax.block_until_ready can return EARLY over
     # the tunneled PJRT transport (observed in round 1 — it made the bench
@@ -155,20 +301,18 @@ def main():
     def sync(st):
         return float(jax.device_get(jnp.sum(st.pl_mean) + st.step))
 
-    def run_once():
-        state = jax.device_put(state_host)
-        _log("compiling + running first step (warms all phase programs)...")
-        step_idx = 0
-        t_compile = time.time()
-        state, stats = executor.step(state, stack, crops,
-                                     jax.random.PRNGKey(1),
-                                     step_idx=step_idx)
-        step_idx += 1
-        sync(state)
-        _log(f"first step (compile+run): {time.time() - t_compile:.0f}s")
+    def run_once(state):
+        _log("first step (compiles/loads every full-reg phase program)...")
+        t_first = time.time()
+        state, _ = executor.step(
+            state, stack, crops, jax.random.PRNGKey(1), step_idx=0,
+            on_phase=lambda name, dt: _log(f"  first-step phase {name}: "
+                                           f"{dt:.1f}s"))
+        _log(f"first step total: {time.time() - t_first:.0f}s")
 
         # warm every reg-interval program variant (steps where R1/PL do and
         # don't run) so the timed window sees zero compiles/cache loads
+        stats = {}
         for i, widx in enumerate(WARMUP_STEP_IDXS):
             t0 = time.time()
             state, stats = executor.step(
@@ -180,66 +324,103 @@ def main():
         for line in phase_report(stats, cfg, hyper, WARMUP_STEP_IDXS[-1]):
             _log(line)
 
+        if os.environ.get('MGT_BENCH_SELFTEST', '1') != '0':
+            if _budget_left() > 240:
+                _log("running matmul-warp on-chip selftest...")
+                warp_selftest()
+            else:
+                _log(f"SKIPPING selftest: {_budget_left():.0f}s budget left")
+
         sync(state)  # drain warmup before opening the timed window
 
+        # analytic FLOPs per step index (exact reg composition per step)
+        step_tflops = {}
+
+        def flops_at(idx):
+            if idx not in step_tflops:
+                step_tflops[idx] = sum(phase_flops(cfg, hyper, idx).values())
+            return step_tflops[idx]
+
+        flops_amort = train_step_flops(cfg, hyper)
+        chip = 'v5e' if jax.devices()[0].platform != 'cpu' else 'cpu'
+
         t0 = time.time()
+        steps_done, window_flops = 0, 0.0
         for i in range(MEASURE_STEPS):
-            state, stats = executor.step(state, stack, crops,
-                                         jax.random.PRNGKey(100 + i),
-                                         step_idx=step_idx)
-            step_idx += 1
+            idx = WINDOW_START_IDX + i
+            state, _ = executor.step(state, stack, crops,
+                                     jax.random.PRNGKey(100 + i),
+                                     step_idx=idx)
             # Per-step readback barrier: bounds in-flight programs to ONE
             # step's worth.  Letting all MEASURE_STEPS dispatch
             # asynchronously OOMs the 16G chip (their temps stack), and the
             # readback is the only sync primitive the tunnel honors.  Costs
             # one tunnel RTT per step — negligible against a real step.
             sync(state)
-        return time.time() - t0
+            steps_done += 1
+            window_flops += flops_at(idx)
+            dt = time.time() - t0
+            sec_per_step = dt / steps_done
+            mfu_val = mfu(window_flops / steps_done, sec_per_step, chip)
+            result = {
+                "metric":
+                    "train_aio imgs/sec/chip @256px (9-layer AIO step)",
+                # mfu leads: the cross-hardware software-efficiency figure
+                # (vs_baseline compares a 197 TF/s v5e against a 312 TF/s
+                # A100 estimate — see BASELINE.md "Deriving the A100 anchor")
+                "mfu": round(mfu_val, 4),
+                "mfu_peak_ref":
+                    f"{chip} bf16 {PEAK_BF16_FLOPS[chip] / 1e12:.0f}e12",
+                "value": round(BATCH * steps_done / dt, 3),
+                "unit": "imgs/sec",
+                "vs_baseline":
+                    round(BATCH * steps_done / dt / BASELINE_IMGS_PER_SEC,
+                          3),
+                "ms_per_step": round(sec_per_step * 1000, 1),
+                "steps_measured": steps_done,
+                "analytic_tflop_per_step":
+                    round(window_flops / steps_done / 1e12, 3),
+                "amortized_tflop_per_step": round(flops_amort / 1e12, 3),
+            }
+            _partial_result.clear()
+            _partial_result.update(result)
+            if steps_done >= MIN_WINDOW and i + 1 < MEASURE_STEPS:
+                # keep ~90s slack for the JSON/teardown; stop a window early
+                # rather than die with nothing
+                if _budget_left() < sec_per_step + 90:
+                    _log(f"budget: stopping after {steps_done} steps "
+                         f"({_budget_left():.0f}s left)")
+                    break
+        dt = time.time() - t0
+        return result, dt, steps_done
 
-    tries, wait_s = 3, 60.0
+    tries = 2
+    state = state0
     for attempt in range(tries):
         try:
-            dt = run_once()
+            result, dt, steps_done = run_once(state)
             break
         except Exception as e:
-            if not _is_transient(e) or attempt == tries - 1:
+            if not _is_transient(e) or attempt == tries - 1 \
+                    or _budget_left() < 240:
                 raise
             _log(f"transient transport error (attempt {attempt + 1}/{tries})"
-                 f", restarting run from initial state in {wait_s:.0f}s: "
+                 f", re-initializing on-device and restarting: "
                  f"{str(e)[:200]}")
-            time.sleep(wait_s)
-            wait_s *= 2
-    _log(f"measure: {MEASURE_STEPS} steps in {dt:.2f}s "
-         f"({dt / MEASURE_STEPS * 1000:.0f} ms/step)")
+            # phase programs DONATE their input buffers — after a mid-run
+            # failure the old device state is unrecoverable; re-init on the
+            # device (seconds — programs stay compiled across attempts)
+            time.sleep(30)
+            state = init_fn(jax.random.PRNGKey(0))
 
-    imgs_per_sec = BATCH * MEASURE_STEPS / dt
-    sec_per_step = dt / MEASURE_STEPS
-
-    # analytic MXU FLOPs of the amortized step → MFU vs the v5e bf16 peak
-    # (conv/matmul MACs only with AD multipliers; utils/flops.py documents
-    # the model — elementwise/VPU work deliberately excluded)
-    from montage_gan_tpu.utils.flops import (PEAK_BF16_FLOPS, mfu,
-                                             train_step_flops)
-    flops_step = train_step_flops(cfg, hyper)
-    chip = 'v5e' if jax.devices()[0].platform != 'cpu' else 'cpu'
-    mfu_val = mfu(flops_step, sec_per_step, chip)
-    _log(f"analytic {flops_step / 1e12:.2f} TFLOP/step, "
-         f"{flops_step / sec_per_step / 1e12:.1f} TFLOP/s achieved, "
-         f"MFU {mfu_val * 100:.1f}% of {chip} bf16 peak "
-         f"({PEAK_BF16_FLOPS[chip] / 1e12:.0f} TF/s)")
-
-    result = {
-        "metric": "train_aio imgs/sec/chip @256px (9-layer AIO step)",
-        "value": round(imgs_per_sec, 3),
-        "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-        "ms_per_step": round(sec_per_step * 1000, 1),
-        "analytic_tflop_per_step": round(flops_step / 1e12, 3),
-        "mfu": round(mfu_val, 4),
-        "mfu_peak_ref": f"{chip} bf16 {PEAK_BF16_FLOPS[chip] / 1e12:.0f}e12",
-    }
-    print(json.dumps(result))
-    # extra context on stderr-like secondary line is avoided: single line only
+    _log(f"measure: {steps_done} steps in {dt:.2f}s "
+         f"({dt / steps_done * 1000:.0f} ms/step)")
+    _log(f"analytic {result['analytic_tflop_per_step']:.2f} TFLOP/step "
+         f"(window-exact), {result['mfu'] * 100:.1f}% MFU of "
+         f"{result['mfu_peak_ref']}")
+    n1, mb1 = _cache_status()
+    _log(f"compile cache: {n1} entries ({n1 - n0} new), {mb1:.0f} MB")
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -313,7 +313,8 @@ class PhaseExecutor:
     # ------------------------------------------------------------------
 
     def step(self, state: MontageTrainState, stack, crops, rng,
-             time_phases: bool = False, step_idx: Optional[int] = None):
+             time_phases: bool = False, step_idx: Optional[int] = None,
+             on_phase=None):
         """One full training iteration; the step index drives the intervals
         host-side.  Returns (new_state, stats).
 
@@ -325,7 +326,12 @@ class PhaseExecutor:
         reports ``Timing/<phase>`` wall-times (the reference's per-phase
         CUDA-event timing, custom/training_loop_aio.py:511-516,860-865);
         with merged local programs the local granularity is per *layer*;
-        costs pipeline overlap, so enable only on tick boundaries."""
+        costs pipeline overlap, so enable only on tick boundaries.
+
+        ``on_phase(name, seconds)``: optional progress callback, fired after
+        every phase program completes (implies a per-phase sync like
+        ``time_phases``) — lets a caller log compile/load progress live, so
+        a stalled first step is diagnosable per phase instead of opaque."""
         import time as _time
         ens, hyper = self.ens, self.hyper
         if step_idx is None:
@@ -336,7 +342,7 @@ class PhaseExecutor:
             # named region for profiler traces (the reference's
             # record_function annotation, custom/loss_aio.py:105 etc.)
             with jax.profiler.TraceAnnotation(phase_name):
-                if not time_phases:
+                if not time_phases and on_phase is None:
                     return fn(*args, **kwargs)
                 t0 = _time.time()
                 out = fn(*args, **kwargs)
@@ -348,7 +354,11 @@ class PhaseExecutor:
                 scalar = next((l for l in leaves
                                if getattr(l, 'size', 0) == 1), leaves[0])
                 jax.device_get(scalar)
-                stats[f'Timing/{phase_name}'] = _time.time() - t0
+                dt = _time.time() - t0
+                if time_phases:
+                    stats[f'Timing/{phase_name}'] = dt
+                if on_phase is not None:
+                    on_phase(phase_name, dt)
                 return out
 
         variables = dict(state.variables)

@@ -252,8 +252,22 @@ class MontageTrainer:
             cpu = jax.local_devices(backend='cpu')[0]
             with jax.default_device(cpu):
                 return self.init_state(rng, batch=batch, on_cpu=False)
+        # on_cpu=False explicitly: this branch must stay traceable so the
+        # whole init can run as ONE jitted on-device program (bench.py does
+        # this — it beats transferring ~8 GB of host-initialized state over
+        # a slow device transport); init_variables' own CPU wrapper would
+        # re-enter jax.default_device inside the trace.
+        variables = self.ens.init_variables(rng, batch=batch, on_cpu=False)
+        return self.state_from_variables(variables)
+
+    def state_from_variables(self, variables) -> MontageTrainState:
+        """Rebuild a *fresh* train state around existing network variables:
+        EMA = copies of the current params, optimizer moments = zeros,
+        controller scalars = zeros — exactly what ``init_state`` produces
+        after ``init_variables``.  Lets callers cache/restore only the
+        variables (the EMA/optimizer majority of the state is derivable)."""
         ens, hyper = self.ens, self.hyper
-        variables = ens.init_variables(rng, batch=batch)
+        variables = dict(variables)
         num_layers = ens.cfg.num_layers
 
         ema = {'mapping': jax.tree_util.tree_map(jnp.copy, variables['mapping']),
