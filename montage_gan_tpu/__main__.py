@@ -21,6 +21,7 @@ def _register():
     from .cli.convert_pickle import main as convert_pickle
     from .cli.dataset_tool import main as dataset_tool
     from .cli.export_model import main as export_model
+    from .cli.export_torch import main as export_torch
     from .cli.generate import main as generate
     from .cli.pretrain_renderer import main as pretrain_renderer
     from .cli.pretrain_stn import main as pretrain_stn
@@ -37,6 +38,7 @@ def _register():
                       ('calc-metrics', calc_metrics),
                       ('dataset-tool', dataset_tool),
                       ('export-model', export_model),
+                      ('export-torch', export_torch),
                       ('pretrain-renderer', pretrain_renderer),
                       ('pretrain-stn', pretrain_stn),
                       ('compare-renderers', compare_renderers),

@@ -271,3 +271,105 @@ def test_network_pkl_loads_via_reference_legacy(tmp_path):
     mse = float(np.mean((img - img_ref) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
     assert psnr > 40.0, psnr
+
+
+# ---------------------------------------------------------------------------
+# 4. the export-torch CLI (cli/export_torch.py)
+# ---------------------------------------------------------------------------
+
+def _tiny_ema_snapshot(tmp_path, base):
+    """A tiny 2-layer montage EMA snapshot pair on disk, plus its pieces."""
+    from montage_gan_tpu.models.ensemble import MontageConfig, MontageEnsemble
+    from montage_gan_tpu.utils.checkpoint import save_ema_snapshot
+    cfg = MontageConfig(
+        layer_names=('a', 'b'), layer_targets=((base, base), (base // 2,
+                                                              base // 4)),
+        base_resolution=base, conv_config_index=2,
+        z_dim=16, w_dim=16, mapping_num_layers=2,
+        channel_base=512, channel_max=32, num_fp16_res=0,
+        mbstd_group_size=2, stn_stages=5 if base >= 256 else 2,
+        train_global=True, renderer_type='tanh')
+    ens = MontageEnsemble(cfg)
+    variables = ens.init_variables(jax.random.PRNGKey(7), batch=1)
+    tree = {'mapping': variables['mapping'],
+            'local_g': tuple(variables['local_g']),
+            'stn': variables['stn'], 'renderer': variables['renderer']}
+    snap = os.path.join(tmp_path, 'ema-snapshot-000001')
+    save_ema_snapshot(snap, cfg, tree)
+    return cfg, ens, tree, snap + '.msgpack'
+
+
+def test_export_torch_cli_pth(tmp_path):
+    """export-torch --format pth: the written dict carries the EMA weights
+    under both live and *_ema keys with reference state_dict layouts."""
+    from click.testing import CliRunner
+
+    from montage_gan_tpu.cli.export_torch import main as export_torch
+    cfg, ens, tree, snap = _tiny_ema_snapshot(tmp_path, base=64)
+    dest = os.path.join(tmp_path, 'out.pth')
+    res = CliRunner().invoke(export_torch,
+                             ['--network', snap, '--dest', dest])
+    assert res.exit_code == 0, res.output
+    data = torch.load(dest, map_location='cpu', weights_only=False)
+    assert set(data) == {'training_set_kwargs', 'mapping_network',
+                         'mapping_network_ema', 'local_G_list', 'local_G_ema',
+                         'renderer', 'pos_estimator', 'pos_estimator_ema'}
+    want = torch_export.synthesis_state_dict(tree['local_g'][1])
+    assert_state_dicts_equal(data['local_G_ema'][1], want)
+    assert_state_dicts_equal(data['local_G_list'][1], want)
+    assert_state_dicts_equal(data['mapping_network'],
+                             torch_export.mapping_state_dict(tree['mapping']))
+
+
+@quick
+def test_slice_global_mapping_inverts_widening():
+    """slice_global_mapping is the exact inverse of the import-side widening
+    (torch_import.widen_mapping_to_global, reference
+    custom/training_loop_aio.py:321-334): widen a plain mapping to L splits,
+    slice any lane back out, recover the original bit-for-bit."""
+    from montage_gan_tpu.cli.export_torch import slice_global_mapping
+    from montage_gan_tpu.models import MappingNetwork
+    net = MappingNetwork(z_dim=16, w_dim=16, num_ws=4, num_layers=2)
+    variables = net.init({'params': jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 16)), None)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # give w_avg a non-trivial value so the slice is observable
+    variables['moving_stats']['w_avg'] = np.arange(16, dtype=np.float32)
+    widened = torch_import.widen_mapping_to_global(variables, num_layers=3)
+    for idx in range(3):
+        back = slice_global_mapping(widened, 3, idx)
+        got = jax.tree_util.tree_leaves(back)
+        want = jax.tree_util.tree_leaves(variables)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.reference
+def test_export_torch_cli_pkl_layer_forward_parity(tmp_path):
+    """export-torch --format pkl --layer b: the written pickle loads through
+    the reference's legacy loader and its G_ema reproduces OUR layer-b
+    synthesis driven by the GlobalMapping's b-lane to PSNR > 40 dB."""
+    import legacy as ref_legacy
+
+    from click.testing import CliRunner
+
+    from montage_gan_tpu.cli.export_torch import main as export_torch
+    cfg, ens, tree, snap = _tiny_ema_snapshot(tmp_path, base=64)
+    dest = os.path.join(tmp_path, 'layer_b.pkl')
+    res = CliRunner().invoke(
+        export_torch, ['--network', snap, '--dest', dest, '--format', 'pkl',
+                       '--layer', 'b', '--reference-path', REFERENCE_PATH])
+    assert res.exit_code == 0, res.output
+
+    with open(dest, 'rb') as f:
+        g_ema = ref_legacy.load_network_pkl(f)['G_ema'].eval()
+    z = np.random.RandomState(3).randn(2, cfg.z_dim).astype(np.float32)
+    with torch.no_grad():
+        img_ref = g_ema(torch.from_numpy(z), None, noise_mode='const',
+                        force_fp32=True).numpy().transpose(0, 2, 3, 1)
+    ws = ens.mapping.apply(tree['mapping'], jnp.asarray(z))  # [B,L,num_ws,w]
+    img = np.asarray(ens.local_gs[1].apply(
+        tree['local_g'][1], ws[:, 1], noise_mode='const', force_fp32=True))
+    mse = float(np.mean((img - img_ref) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 40.0, psnr
