@@ -6,24 +6,32 @@ multichip dryrun and small configs, but its single XLA program grows with
 executor mirrors the reference's phase scheduler
 (reference: custom/training_loop_aio.py:431-519,609-638) the TPU way:
 
-  * ONE jitted program per layer *geometry* per reg-combo — all four local
-    phases of a layer (Gmain, [Greg], Dmain, [Dreg]) execute sequentially
-    inside a single program (identical optimizer ordering to the
-    reference's phase list, :443-519), with the RNG phase keys and the
-    z draws derived in-program.  The reference dataset has 9 layers but
-    only 6 distinct geometries, and same-geometry layers reuse the same
-    compiled program with different parameter pytrees (the layer index
-    enters as a traced scalar for the ws slice / pl_mean / aug_p lanes).
-    One dispatch per layer per step keeps the step from being dominated by
-    per-program dispatch latency on remote-tunnelled devices;
+  * ONE jitted program per local *phase kind* per layer geometry — Gmain,
+    Greg (path length), Dmain, Dreg (R1) are each their own program,
+    dispatched in the reference's exact per-layer order
+    (custom/training_loop_aio.py:443-519).  The RNG phase keys and the z
+    draws are derived in-program, and the layer index enters as a traced
+    scalar, so the reference dataset's 9 layers share 6 geometries' worth
+    of compiled programs.  Phase-kind granularity (rather than one fused
+    per-layer program per reg combo) means there is exactly ONE compiled
+    artifact per (kind, geometry) — no duplicated Gmain/Dmain code across
+    reg-combo variants — which cuts the serialized-executable bytes a
+    fresh process must pull through the persistent compile cache by ~2×
+    (the dominant startup cost on remote-tunnelled devices) and lets a
+    step at ANY reg phase run right after the first full-reg step with no
+    further compiles or cache loads.  Dispatch is asynchronous, so the
+    extra program boundary per layer costs only enqueue overhead
+    (measured ≈ 0.1 s against a ~5.4 s step);
   * lazy-regularization phases are gated host-side by ``step % interval``
-    (identical to the reference's interval check, :611) as *static* flags,
-    so off-interval steps compile/run without the reg sections entirely;
+    (identical to the reference's interval check, :611), simply by not
+    dispatching the reg programs on off-interval steps;
   * optimizer semantics are identical to the monolithic step: per-pair Adam
     with mb_ratio scaling, ``gain = interval`` loss scaling, nan_to_num
     scrubbing, sequential mapping updates.
 
-All phase programs donate their parameter/optimizer/state buffers.
+All phase programs donate the state buffers they update; frozen inputs
+(e.g. D's variables inside Gmain, G's inside Dmain, the real crops, aug_p)
+are not donated so they stay live for the following phases.
 """
 
 from __future__ import annotations
@@ -68,13 +76,20 @@ def _accum_vag(loss_fn, params, data, rng, rounds: int):
                                 rounds)
 
 
+def _phase_key(rng, layer_idx, j):
+    """Phase k of layer i uses ``fold_in(rng, 4*i + 1 + k)`` — identical
+    streams to the monolithic step (the reference's fresh-z-per-phase rule,
+    custom/training_loop_aio.py:606-607)."""
+    return jax.random.fold_in(rng, 4 * layer_idx + 1 + j)
+
+
 class PhaseExecutor:
     def __init__(self, trainer: MontageTrainer,
                  merge_locals: str = 'per_layer'):
-        """``merge_locals``: 'per_layer' (one program per layer geometry ×
-        reg combo; moderate compiles, ~13 dispatches/step) or 'all' (every
-        layer's phases in ONE program; single big compile per reg combo,
-        ~5 dispatches/step — fastest on remote-tunnelled devices)."""
+        """``merge_locals``: 'per_layer' (one program per phase kind ×
+        layer geometry; small artifacts, ~22 dispatches/step) or 'all'
+        (every layer's phases in ONE program per reg combo; fewest
+        dispatches but the largest compiles)."""
         assert merge_locals in ('per_layer', 'all')
         self.merge_locals = merge_locals
         self.trainer = trainer
@@ -90,41 +105,17 @@ class PhaseExecutor:
         self._fns: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
-    # Merged per-layer program (cached per geometry representative and
-    # reg-combo)
+    # Per-phase traced bodies (shared by the split per-phase programs and
+    # the merged 'all' program)
     # ------------------------------------------------------------------
 
-    def _layer_phases(self, rep: int, do_greg: bool, do_dreg: bool,
-                      m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
-                      sign_sum, sign_count, layer_idx, real, rng, aug_p):
-        """Traced body of one layer's local phases (Gmain, [Greg], Dmain,
-        [Dreg]) — shared by the per-layer and all-locals merged programs.
-
-        Phase order and per-phase RNG streams replicate the unmerged
-        scheduler exactly: phase k of layer i uses
-        ``fold_in(rng, 4*i + 1 + k)``; z is drawn from ``fold_in(key, 0)``
-        and the loss rng is ``fold_in(key, 1)`` (the reference's fresh-z-
-        per-phase rule, custom/training_loop_aio.py:606-607).
-        """
+    def _gmain_body(self, rep, m_vars, g_vars, opt_g, d_vars, layer_idx,
+                    real, rng, aug_p):
         ens, hyper = self.ens, self.hyper
-        tx_g, tx_d = self.trainer.tx_local_g, self.trainer.tx_local_d
-        g_gain = float(hyper.g_reg_interval or 1)
-        d_gain = float(hyper.d_reg_interval or 1)
-        z_dim = ens.cfg.z_dim
-        stats: Dict[str, Any] = {}
+        k = _phase_key(rng, layer_idx, 0)
+        z = jax.random.normal(jax.random.fold_in(k, 0),
+                              (real.shape[0], ens.cfg.z_dim))
         aug_p_i = aug_p[layer_idx]
-        phase_base = 4 * layer_idx + 1
-        batch = real.shape[0]  # actual data batch (may be < batch_size)
-
-        def phase_key(j):
-            return jax.random.fold_in(rng, phase_base + j)
-
-        def z_of(k):
-            return jax.random.normal(jax.random.fold_in(k, 0),
-                                     (batch, z_dim))
-
-        # ---- local Gmain
-        k = phase_key(0)
 
         def gmain_loss(m_params, g_params, z_mb, rng_mb):
             diff = {'mapping': {**m_vars, 'params': m_params},
@@ -136,48 +127,57 @@ class PhaseExecutor:
 
         (_, aux), grads = _accum_vag(
             gmain_loss, (m_vars['params'], g_vars['params']),
-            (z_of(k),), jax.random.fold_in(k, 1), hyper.accum_rounds)
+            (z,), jax.random.fold_in(k, 1), hyper.accum_rounds)
         gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
         params = {'mapping': m_vars['params'], 'g': g_vars['params']}
-        updates, opt_g = tx_g.update(gtree, opt_g, params)
+        updates, opt_g = self.trainer.tx_local_g.update(gtree, opt_g, params)
         new = optax.apply_updates(params, updates)
         m_vars = {**m_vars, 'params': new['mapping'],
                   'moving_stats': aux['moving_stats']}
         g_vars = {**g_vars, 'params': new['g']}
-        _merge_stats(stats, aux['stats'])
+        return m_vars, g_vars, opt_g, aux['stats']
 
-        # ---- local Greg (path length), every g_reg_interval steps
-        if do_greg:
-            k = phase_key(1)
-            pl_mean_i = pl_mean[layer_idx]
+    def _greg_body(self, rep, m_vars, g_vars, opt_g, pl_mean, layer_idx,
+                   real, rng):
+        ens, hyper = self.ens, self.hyper
+        g_gain = float(hyper.g_reg_interval or 1)
+        k = _phase_key(rng, layer_idx, 1)
+        z = jax.random.normal(jax.random.fold_in(k, 0),
+                              (real.shape[0], ens.cfg.z_dim))
+        pl_mean_i = pl_mean[layer_idx]
 
-            def gpl_loss(m_params, g_params, z_mb, rng_mb):
-                diff = {'mapping': {**m_vars, 'params': m_params},
-                        'g': {**g_vars, 'params': g_params}}
-                loss, aux = losses.local_gpl_loss(
-                    diff, ens, rep, z_mb, rng_mb, pl_mean_i,
-                    hyper.pl_batch_shrink, hyper.pl_decay,
-                    hyper.pl_weight, hyper.style_mixing_prob,
-                    layer_idx=layer_idx)
-                return loss * g_gain, aux
+        def gpl_loss(m_params, g_params, z_mb, rng_mb):
+            diff = {'mapping': {**m_vars, 'params': m_params},
+                    'g': {**g_vars, 'params': g_params}}
+            loss, aux = losses.local_gpl_loss(
+                diff, ens, rep, z_mb, rng_mb, pl_mean_i,
+                hyper.pl_batch_shrink, hyper.pl_decay,
+                hyper.pl_weight, hyper.style_mixing_prob,
+                layer_idx=layer_idx)
+            return loss * g_gain, aux
 
-            (_, aux), grads = _accum_vag(
-                gpl_loss, (m_vars['params'], g_vars['params']),
-                (z_of(k),), jax.random.fold_in(k, 1),
-                hyper.accum_rounds)
-            gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
-            params = {'mapping': m_vars['params'], 'g': g_vars['params']}
-            updates, opt_g = tx_g.update(gtree, opt_g, params)
-            new = optax.apply_updates(params, updates)
-            m_vars = {**m_vars, 'params': new['mapping'],
-                      'moving_stats': aux['moving_stats']}
-            g_vars = {**g_vars, 'params': new['g']}
-            pl_mean = pl_mean.at[layer_idx].set(aux['pl_mean'])
-            _merge_stats(stats, aux['stats'])
+        (_, aux), grads = _accum_vag(
+            gpl_loss, (m_vars['params'], g_vars['params']),
+            (z,), jax.random.fold_in(k, 1), hyper.accum_rounds)
+        gtree = _nan_to_num({'mapping': grads[0], 'g': grads[1]})
+        params = {'mapping': m_vars['params'], 'g': g_vars['params']}
+        updates, opt_g = self.trainer.tx_local_g.update(gtree, opt_g, params)
+        new = optax.apply_updates(params, updates)
+        m_vars = {**m_vars, 'params': new['mapping'],
+                  'moving_stats': aux['moving_stats']}
+        g_vars = {**g_vars, 'params': new['g']}
+        pl_mean = pl_mean.at[layer_idx].set(aux['pl_mean'])
+        return m_vars, g_vars, opt_g, pl_mean, aux['stats']
 
-        # ---- local Dmain (uses the just-updated G, like the
-        # reference's sequential phase list)
-        k = phase_key(2)
+    def _dmain_body(self, rep, m_vars, d_vars, opt_d, g_vars, sign_sum,
+                    sign_count, layer_idx, real, rng, aug_p):
+        """Uses the just-updated G, like the reference's sequential phase
+        list; updates mapping's moving_stats (w_avg) through run_G."""
+        ens, hyper = self.ens, self.hyper
+        k = _phase_key(rng, layer_idx, 2)
+        z = jax.random.normal(jax.random.fold_in(k, 0),
+                              (real.shape[0], ens.cfg.z_dim))
+        aug_p_i = aug_p[layer_idx]
 
         def dmain_loss(d_params, z_mb, real_mb, rng_mb):
             dv = {**d_vars, 'params': d_params}
@@ -188,47 +188,156 @@ class PhaseExecutor:
                 hyper.style_mixing_prob, layer_idx=layer_idx)
 
         (_, aux), grads = _accum_vag(
-            dmain_loss, (d_vars['params'],), (z_of(k), real),
+            dmain_loss, (d_vars['params'],), (z, real),
             jax.random.fold_in(k, 1), hyper.accum_rounds)
         grads = _nan_to_num(grads[0])
-        updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
+        updates, opt_d = self.trainer.tx_local_d.update(
+            grads, opt_d, d_vars['params'])
         d_vars = {**d_vars,
-                  'params': optax.apply_updates(d_vars['params'],
-                                                updates)}
+                  'params': optax.apply_updates(d_vars['params'], updates)}
         m_vars = {**m_vars, 'moving_stats': aux['moving_stats']}
         sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
         sign_count = sign_count.at[layer_idx].add(1.0)
-        _merge_stats(stats, aux['stats'])
+        return m_vars, d_vars, opt_d, sign_sum, sign_count, aux['stats']
 
-        # ---- local Dreg (R1), every d_reg_interval steps
+    def _dr1_body(self, rep, d_vars, opt_d, sign_sum, sign_count, layer_idx,
+                  real, rng, aug_p):
+        ens, hyper = self.ens, self.hyper
+        d_gain = float(hyper.d_reg_interval or 1)
+        k = _phase_key(rng, layer_idx, 3)
+        aug_p_i = aug_p[layer_idx]
+
+        def dr1_loss(d_params, real_mb, rng_mb):
+            dv = {**d_vars, 'params': d_params}
+            loss, aux = losses.local_dr1_loss(
+                dv, ens, rep, real_mb, rng_mb,
+                self.trainer._local_aug, aug_p_i, hyper.r1_gamma)
+            return loss * d_gain, aux
+
+        (_, aux), grads = _accum_vag(
+            dr1_loss, (d_vars['params'],), (real,),
+            jax.random.fold_in(k, 1), hyper.accum_rounds)
+        grads = _nan_to_num(grads[0])
+        updates, opt_d = self.trainer.tx_local_d.update(
+            grads, opt_d, d_vars['params'])
+        d_vars = {**d_vars,
+                  'params': optax.apply_updates(d_vars['params'], updates)}
+        sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
+        sign_count = sign_count.at[layer_idx].add(1.0)
+        return d_vars, opt_d, sign_sum, sign_count, aux['stats']
+
+    # ------------------------------------------------------------------
+    # Split per-phase jitted programs (cached per geometry representative)
+    # ------------------------------------------------------------------
+
+    def _gmain_fn(self, rep: int):
+        key = ('gmain', rep)
+        if key not in self._fns:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+            def fn(m_vars, g_vars, opt_g, d_vars, layer_idx, real, rng,
+                   aug_p):
+                return self._gmain_body(rep, m_vars, g_vars, opt_g, d_vars,
+                                        layer_idx, real, rng, aug_p)
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _greg_fn(self, rep: int):
+        key = ('greg', rep)
+        if key not in self._fns:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def fn(m_vars, g_vars, opt_g, pl_mean, layer_idx, real, rng):
+                return self._greg_body(rep, m_vars, g_vars, opt_g, pl_mean,
+                                       layer_idx, real, rng)
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _dmain_fn(self, rep: int):
+        key = ('dmain', rep)
+        if key not in self._fns:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 4, 5))
+            def fn(m_vars, d_vars, opt_d, g_vars, sign_sum, sign_count,
+                   layer_idx, real, rng, aug_p):
+                return self._dmain_body(rep, m_vars, d_vars, opt_d, g_vars,
+                                        sign_sum, sign_count, layer_idx,
+                                        real, rng, aug_p)
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _dr1_fn(self, rep: int):
+        key = ('dr1', rep)
+        if key not in self._fns:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def fn(d_vars, opt_d, sign_sum, sign_count, layer_idx, real,
+                   rng, aug_p):
+                return self._dr1_body(rep, d_vars, opt_d, sign_sum,
+                                      sign_count, layer_idx, real, rng,
+                                      aug_p)
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _run_layer_split(self, rep, do_greg, do_dreg, m_vars, g_vars, opt_g,
+                         d_vars, opt_d, pl_mean, sign_sum, sign_count,
+                         layer_idx, real, rng, aug_p):
+        """Dispatch one layer's local phases as 2-4 per-phase programs, in
+        the reference's exact order Gmain → [Greg] → Dmain → [Dreg]
+        (custom/training_loop_aio.py:443-519).  Returns the same tuple the
+        old fused per-layer program returned; stats merge host-side with
+        the identical collision rule."""
+        stats: Dict[str, Any] = {}
+        m_vars, g_vars, opt_g, st = self._gmain_fn(rep)(
+            m_vars, g_vars, opt_g, d_vars, layer_idx, real, rng, aug_p)
+        _merge_stats(stats, st)
+        if do_greg:
+            m_vars, g_vars, opt_g, pl_mean, st = self._greg_fn(rep)(
+                m_vars, g_vars, opt_g, pl_mean, layer_idx, real, rng)
+            _merge_stats(stats, st)
+        m_vars, d_vars, opt_d, sign_sum, sign_count, st = self._dmain_fn(
+            rep)(m_vars, d_vars, opt_d, g_vars, sign_sum, sign_count,
+                 layer_idx, real, rng, aug_p)
+        _merge_stats(stats, st)
         if do_dreg:
-            k = phase_key(3)
+            d_vars, opt_d, sign_sum, sign_count, st = self._dr1_fn(rep)(
+                d_vars, opt_d, sign_sum, sign_count, layer_idx, real, rng,
+                aug_p)
+            _merge_stats(stats, st)
+        return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean, sign_sum,
+                sign_count, stats)
 
-            def dr1_loss(d_params, real_mb, rng_mb):
-                dv = {**d_vars, 'params': d_params}
-                loss, aux = losses.local_dr1_loss(
-                    dv, ens, rep, real_mb, rng_mb,
-                    self.trainer._local_aug, aug_p_i, hyper.r1_gamma)
-                return loss * d_gain, aux
+    # ------------------------------------------------------------------
+    # Merged per-layer / all-layers programs (legacy fused variants; the
+    # 'all' mode and the probing tools use these)
+    # ------------------------------------------------------------------
 
-            (_, aux), grads = _accum_vag(
-                dr1_loss, (d_vars['params'],), (real,),
-                jax.random.fold_in(k, 1), hyper.accum_rounds)
-            grads = _nan_to_num(grads[0])
-            updates, opt_d = tx_d.update(grads, opt_d, d_vars['params'])
-            d_vars = {**d_vars,
-                      'params': optax.apply_updates(d_vars['params'],
-                                                    updates)}
-            sign_sum = sign_sum.at[layer_idx].add(aux['sign_real'])
-            sign_count = sign_count.at[layer_idx].add(1.0)
-            _merge_stats(stats, aux['stats'])
-
+    def _layer_phases(self, rep: int, do_greg: bool, do_dreg: bool,
+                      m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
+                      sign_sum, sign_count, layer_idx, real, rng, aug_p):
+        """Traced body of one layer's local phases fused in one program
+        (composition of the per-phase bodies — same math, same RNG
+        streams)."""
+        stats: Dict[str, Any] = {}
+        m_vars, g_vars, opt_g, st = self._gmain_body(
+            rep, m_vars, g_vars, opt_g, d_vars, layer_idx, real, rng, aug_p)
+        _merge_stats(stats, st)
+        if do_greg:
+            m_vars, g_vars, opt_g, pl_mean, st = self._greg_body(
+                rep, m_vars, g_vars, opt_g, pl_mean, layer_idx, real, rng)
+            _merge_stats(stats, st)
+        m_vars, d_vars, opt_d, sign_sum, sign_count, st = self._dmain_body(
+            rep, m_vars, d_vars, opt_d, g_vars, sign_sum, sign_count,
+            layer_idx, real, rng, aug_p)
+        _merge_stats(stats, st)
+        if do_dreg:
+            d_vars, opt_d, sign_sum, sign_count, st = self._dr1_body(
+                rep, d_vars, opt_d, sign_sum, sign_count, layer_idx, real,
+                rng, aug_p)
+            _merge_stats(stats, st)
         return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean,
                 sign_sum, sign_count, stats)
 
     def _layer_fn(self, rep: int, do_greg: bool, do_dreg: bool):
-        """One layer's local phases as ONE jitted program (cached per
-        geometry representative and reg combo)."""
+        """One layer's local phases as ONE fused jitted program (cached per
+        geometry representative and reg combo) — kept for probing tools
+        and A/B comparisons against the split per-phase programs."""
         key = ('layer', rep, do_greg, do_dreg)
         if key in self._fns:
             return self._fns[key]
@@ -268,7 +377,7 @@ class PhaseExecutor:
                  pl_mean, sign_sum, sign_count, st) = self._layer_phases(
                     rep, do_greg, do_dreg, m_vars, g_list[i], opt_g_list[i],
                     d_list[i], opt_d_list[i], pl_mean, sign_sum, sign_count,
-                    i, crops[i], rng, aug_p)
+                    jnp.asarray(i, jnp.int32), crops[i], rng, aug_p)
                 stats.update({f'{layer_names[i]}/{k2}': v
                               for k2, v in st.items()})
             return (m_vars, tuple(g_list), tuple(opt_g_list), tuple(d_list),
@@ -322,14 +431,15 @@ class PhaseExecutor:
         sync on ``state.step`` — the sync stalls the dispatch pipeline every
         step (expensive over a remote device transport).
 
-        ``time_phases=True`` synchronizes after every phase program and
+        ``time_phases=True`` synchronizes after every phase group and
         reports ``Timing/<phase>`` wall-times (the reference's per-phase
         CUDA-event timing, custom/training_loop_aio.py:511-516,860-865);
-        with merged local programs the local granularity is per *layer*;
-        costs pipeline overlap, so enable only on tick boundaries.
+        the local granularity is per *layer* (a layer's 2-4 per-phase
+        programs time as one group, keeping key names stable); costs
+        pipeline overlap, so enable only on tick boundaries.
 
         ``on_phase(name, seconds)``: optional progress callback, fired after
-        every phase program completes (implies a per-phase sync like
+        every phase group completes (implies a per-group sync like
         ``time_phases``) — lets a caller log compile/load progress live, so
         a stalled first step is diagnosable per phase instead of opaque."""
         import time as _time
@@ -396,7 +506,7 @@ class PhaseExecutor:
                     (mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
                      pl_mean, sign_sum, sign_count, st) = timed(
                         f'local_{name}',
-                        self._layer_fn(rep, do_greg, do_dreg),
+                        self._run_layer_split, rep, do_greg, do_dreg,
                         mapping, local_g[i], opt_g[i], local_d[i], opt_d[i],
                         pl_mean, sign_sum, sign_count,
                         jnp.asarray(i, jnp.int32), crops[i], rng,

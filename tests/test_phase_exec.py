@@ -60,12 +60,14 @@ def test_phase_executor_trains():
         state, stats = executor.step(state, stack, crops,
                                      jax.random.PRNGKey(5 + t))
     assert int(state.step) == 3
-    # merged per-layer programs, cached per (geometry rep, reg combo)
-    assert ('layer', 0, True, True) in executor._fns
-    assert ('layer', 1, True, True) in executor._fns
-    assert ('layer', 0, False, False) in executor._fns
+    # split per-phase programs, cached once per (phase kind, geometry rep) —
+    # no reg-combo variants (reg phases simply aren't dispatched off-interval)
+    for kind in ('gmain', 'greg', 'dmain', 'dr1'):
+        assert (kind, 0) in executor._fns
+        assert (kind, 1) in executor._fns
     # 'c' reused 'a''s programs (same geometry)
-    assert not any(k[1] == 2 for k in executor._fns if k[0] == 'layer')
+    assert not any(k[1] == 2 for k in executor._fns
+                   if k[0] in ('gmain', 'greg', 'dmain', 'dr1'))
 
     s1_leaves = jax.tree_util.tree_leaves(
         jax.device_get(params_only(state.variables)))
