@@ -39,21 +39,42 @@ built densely against the window's row/column iota, so the contraction is a
 ``[P, block] @ [block, block·C]`` matmul per tile (P = tile²), scanned over
 (tile-row × batch) with the tiles of one row vmapped.
 
-Transpose tiling (the VJP wrt x) is the mirror image, *gather-side*: the
-INPUT plane is cut into ``tile_t``×``tile_t`` tiles; for each input tile the
-window of the output-cotangent plane whose points can touch it (the preimage
-of the support-expanded tile rect under the pixel-space affine, located via
+Transpose (the VJP wrt x) — two engines, ``MGT_WARP_ADJOINT``:
+
+``in`` (default): *gather-side* mirror image — the INPUT plane is cut into
+``tile_t``×``tile_t`` tiles; for each input tile the window of the
+output-cotangent plane whose points can touch it (the preimage of the
+support-expanded tile rect under the pixel-space affine, located via
 theta⁻¹) is sliced, and
 
     dx[k, l] = sum_q wy[q, k] * wx[q, l] * g[q]
 
 is a dense ``[tile, Q] @ [Q, tile·C]`` contraction per tile (Q = window
-points).  Every output write is a disjoint input tile — no scatter, no
-read-modify-write accumulation, no serial loop (a scatter-add formulation
-measured 121 ms on v5e at the shapes above, dominated by ~4.6k sequential
-32-lane dynamic-update-slices).
+points).  Every output write is a disjoint input tile — no accumulation
+pass, no serial loop — but Q = block_t² window rows must be re-weighted
+per input tile (~25× the forward's weight evaluations at the production
+tune), and the window clamping makes the adjoint exact only within the
+coverage contract below.
 
-Coverage contract (per direction, NOT symmetric): the forward window of
+``out``: walk the FORWARD's tile list again and apply the exact adjoint of
+each tile's two contractions,
+``dX_win[h,w,c] = Σ_p wy[p,h]·wx[p,w]·g[p,c]`` — the same P = tile² weight
+rows the forward built, so the result is the adjoint of the clamped-window
+forward BY CONSTRUCTION for every theta (nothing is ever dropped; the
+coverage contract below applies only to the ``in`` engine).  The
+overlapping windows then accumulate into the input plane with a sequential
+in-place dynamic-update-slice scan, bucketed over ``MGT_WARP_ACC_LANES``
+independent planes; see ``_warp_transpose_outtiled``.  Despite ~13× fewer
+weight-evaluation FLOPs it measures SLOWER on v5e at the ADA shape — the
+serial accumulation chain dominates (warp-only fwd+bwd 107–112 ms across
+lane counts vs 89 ms for ``in``; full bgcfnc pipe bwd 143 vs 113 ms,
+grad-of-grad 278 vs 217 ms) — which is why the approximate-but-measured
+``in`` engine stays the default and ``out`` is the zero-loss option for
+heavier-tailed transform laws.
+
+Coverage contract of the default ``in`` engine (per direction, NOT
+symmetric — the ``out`` adjoint is exact for every theta and has
+no transpose-side bound): the forward window of
 ``block`` stored rows covers an output tile whose source footprint fits,
 i.e. per-axis |J| row sums up to ``≈ (block − supp − 1)·up/tile``
 (*minification* bound); the transpose window of ``block_t`` output rows
@@ -80,7 +101,8 @@ buys coverage at ~linear cost in the transpose's window area
 (block_t 192 → 0.05% rate at p=1, 224 → 2e-5, 256 → 0 in 10⁵), and the
 ADA call site exposes ``MGT_WARP_GUARD=1`` — a per-batch exact-gather
 fallback for out-of-contract thetas.  Callers with heavier-tailed
-transform laws should raise ``block``/``block_t`` or enable the guard.
+transform laws should raise ``block``/``block_t``, enable the guard, or
+switch to the exact ``MGT_WARP_ADJOINT=out`` engine (~27% slower bwd).
 
 Differentiation: the op is linear in ``x``; forward and transpose are a
 mutually-referencing ``jax.custom_vjp`` pair (the round-1 upfirdn2d pattern,
@@ -439,6 +461,124 @@ def _warp_transpose_tiled(spec: _Spec, g, theta):
     return dx[:, :h, :w]
 
 
+def _warp_transpose_outtiled(spec: _Spec, g, theta):
+    """EXACT adjoint of ``_warp_tiled``, output-tiled: [N,out_h,out_w,C] f32
+    → [N,H,W,C] f32.
+
+    Walks the forward's own tile list — same windows (h0/w0), same weight
+    matrices — and per output tile computes the adjoint of its two
+    contractions, ``dX_window[h,w,c] = Σ_p wy[p,h]·wx[p,w]·g[p,c]``, then
+    accumulates the (overlapping) windows into the input plane with a
+    sequential in-place dynamic-update-slice scan.
+
+    The structural win over the input-tiled transpose
+    (``_warp_transpose_tiled``): it is the adjoint of the clamped-window
+    forward BY CONSTRUCTION — whatever taps the forward computed get their
+    exact cotangents, for EVERY theta.  The transpose-side coverage
+    contract (``block_t`` windows, measured 0.87% violation rate at p=1 —
+    see module docstring) simply does not apply; nothing is ever dropped.
+
+    Per-tile work is the forward's P = tile² weight rows instead of the
+    input-tiled q = block_t² window rows (1024 vs 25600 at the production
+    tune): ~13× fewer weight evaluations and contraction FLOPs — but the
+    serial window-accumulation pass dominates on v5e and the engine
+    measures ~20-30% slower end-to-end than ``in`` (numbers in the module
+    docstring), so it is opt-in (``MGT_WARP_ADJOINT=out``): the exactness
+    option, not the speed option.
+    """
+    n, h, w, c = spec.n, spec.h, spec.w, spec.c
+    tile = spec.tile
+    bh = min(spec.block, h)
+    bw = min(spec.block, w)
+    nti = -(-spec.out_h // tile)
+    ntj = -(-spec.out_w // tile)
+    hp, wp = nti * tile, ntj * tile
+    p = tile * tile
+    lo, _ = _support(spec)
+
+    spx, spy = _source_coords(spec, theta, hp, wp)
+
+    def tiles_of(s):
+        t = s.reshape(n, nti, tile, ntj, tile)
+        return t.transpose(1, 0, 3, 2, 4).reshape(nti * n * ntj, p)
+
+    sx_t, sy_t = tiles_of(spx), tiles_of(spy)
+    w0 = jnp.clip(jnp.floor(jnp.min(sx_t, axis=-1) - lo).astype(jnp.int32)
+                  + 1, 0, w - bw)
+    h0 = jnp.clip(jnp.floor(jnp.min(sy_t, axis=-1) - lo).astype(jnp.int32)
+                  + 1, 0, h - bh)
+    bidx = _flat_batch_indices(nti, n, ntj)
+
+    # adjoint of the forward's trailing slice: zero-pad g to the tile grid
+    g = jnp.pad(g, ((0, 0), (0, hp - spec.out_h), (0, wp - spec.out_w),
+                    (0, 0)))
+    g_t = (g.reshape(n, nti, tile, ntj, tile, c)
+           .transpose(1, 0, 3, 2, 4, 5).reshape(nti * n * ntj, p, c))
+
+    def one_tile(sx_r, sy_r, h0_s, w0_s, g_r):  # [P], [P], scalars, [P,C]
+        wx = _weights(spec, sx_r[None], w0_s[None], bw, spec.wv)[0]
+        wy = _weights(spec, sy_r[None], h0_s[None], bh, spec.hv)[0]
+        # adjoint of (einsum('pw,hwc->phc') ∘ einsum('ph,phc->pc')):
+        zq = wx[:, :, None] * g_r[:, None, :]            # [P, bw, C]
+        return jnp.einsum('ph,pwc->hwc', wy, zq,
+                          precision=spec.precision)      # [bh, bw, C]
+
+    n_tiles = nti * n * ntj
+    dwins = _chunked_scan(one_tile, (sx_t, sy_t, h0, w0, g_t),
+                          n_tiles, min(spec.chunk, n_tiles))
+
+    # Accumulation: windows of the SAME sample can overlap under any theta
+    # (they track the source region), so same-plane updates must serialize —
+    # but a scan of one slice-add per step is LATENCY-bound (~19 µs/step
+    # measured, the reason the round-2 scatter-add lost).  Bucket the tiles
+    # round-robin over K independent accumulator planes carried as a TUPLE:
+    # the K in-place updates inside one scan step touch K different buffers,
+    # so XLA overlaps them, cutting the serial chain K× for K-1 extra plane
+    # reductions at the end.  K is sweepable at trace time.
+    lanes = max(1, int(os.environ.get('MGT_WARP_ACC_LANES', '8')))
+    n_steps = -(-n_tiles // lanes)
+    pad = n_steps * lanes - n_tiles
+
+    def lane_shape(a, fill):
+        if pad:
+            filler = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            a = jnp.concatenate([a, filler])
+        return a.reshape((n_steps, lanes) + a.shape[1:])
+
+    # zero windows at origin (0,0,0) pad harmlessly: they add zeros
+    wins_r = lane_shape(dwins, 0)
+    h0_r = lane_shape(h0, 0)
+    w0_r = lane_shape(w0, 0)
+    b_r = lane_shape(bidx, 0)
+
+    def acc(carry, args):
+        wins, h0s, w0s, bs = args
+        out = []
+        for k in range(lanes):
+            dxk = carry[k]
+            start = (bs[k], h0s[k], w0s[k], 0)
+            cur = lax.dynamic_slice(dxk, start, (1, bh, bw, c))
+            out.append(lax.dynamic_update_slice(dxk, cur + wins[k][None],
+                                                start))
+        return tuple(out), None
+
+    carry0 = tuple(jnp.zeros((n, h, w, c), jnp.float32)
+                   for _ in range(lanes))
+    carry, _ = lax.scan(acc, carry0, (wins_r, h0_r, w0_r, b_r))
+    dx = carry[0]
+    for k in range(1, lanes):
+        dx = dx + carry[k]
+    return dx
+
+
+def _adjoint_impl():
+    """``MGT_WARP_ADJOINT``: ``in`` (default — input-tiled transpose with
+    the measured block_t coverage contract; fastest on v5e) | ``out``
+    (exact adjoint of the tiled forward for every theta, ~27% slower bwd).
+    Read at trace time."""
+    return os.environ.get('MGT_WARP_ADJOINT', 'in')
+
+
 # ----------------------- mutually-adjoint vjp pair ------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -459,7 +599,9 @@ _warp.defvjp(_warp_fwd, _warp_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _warpT(spec: _Spec, g, theta):
-    return _warp_transpose_tiled(spec, g, theta)
+    if _adjoint_impl() == 'in':
+        return _warp_transpose_tiled(spec, g, theta)
+    return _warp_transpose_outtiled(spec, g, theta)
 
 
 def _warpT_fwd(spec, g, theta):

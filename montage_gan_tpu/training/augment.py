@@ -393,26 +393,26 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
             # reads the 1× padded plane directly.  Measured at the 256px ADA
             # shape (mb16, 396→524 fused ×2): fwd 31 vs 215 ms, bwd 131 vs
             # 1464 ms against up2+gather on a v5e.  Tile/block/chunk values
-            # are the swept optimum at that shape.  Coverage at these values
-            # (measured contract in the ops/affine_warp.py docstring):
-            # |J| ≤ ~3.5 forward (0 violations in 1e5 draws), |J⁻¹| ≤ ~2.13
-            # transpose — 0.24% of draws at the production ceiling p=0.6
-            # lose gradient mass, median loss <0.1% of that sample's
-            # augment gradient; raise block_t or set MGT_WARP_GUARD=1 for
-            # heavier-tailed transform laws.
+            # are the swept optimum at that shape.  Gradient exactness: the
+            # default 'in' adjoint carries the transpose coverage contract
+            # (|J⁻¹| ≤ ~2.13: 0.24% of draws at the production ceiling
+            # p=0.6 lose gradient mass, median loss <0.1% of that sample's
+            # augment gradient — measured contract in the ops/affine_warp.py
+            # docstring); the forward bound (|J| ≤ ~3.5, 0 violations in
+            # 1e5 draws) applies to both engines.  MGT_WARP_ADJOINT=out
+            # selects an adjoint that is exact for EVERY theta (measured
+            # ~27% slower bwd on v5e — numbers in ops/affine_warp.py).
             if os.environ.get('MGT_WARP_GUARD', '0') == '1':
                 # Runtime escape hatch for out-of-contract thetas: when any
                 # sample in the batch exceeds a coverage bound, the whole
                 # batch falls back to the exact gather path for this call.
-                # Measured rates/severity at the default ADA law are in the
-                # ops/affine_warp.py docstring (0.24% of samples at the
-                # production p=0.6, median violator loses <0.1% of its own
-                # augment gradient; pinned by tests/test_affine_warp.py::
-                # test_coverage_violation_rate).  Off by default: expected
-                # batch-gradient corruption is ~1e-6, while the guard makes
-                # ~4-13% of batches (batch 16-32 at p≥0.6) pay the ~10×
-                # gather cost and compiles the gather VJP chain into every
-                # D program.  Turn on for heavier-tailed transform laws.
+                # Only meaningful under the default MGT_WARP_ADJOINT=in
+                # engine (the out-tiled adjoint never drops mass).
+                # Off by default: expected batch-gradient corruption is
+                # ~1e-6, while the guard makes ~4-13% of batches (batch
+                # 16-32 at p≥0.6) pay the ~10× gather cost and compiles
+                # the gather VJP chain into every D program; for exact
+                # grads at lower cost use MGT_WARP_ADJOINT=out instead.
                 fwd_ex, bwd_ex = coverage_excess(
                     G[:, :2, :], x.shape[1], x.shape[2], out_h, out_w,
                     tile=WARP_TUNE['tile'], block=WARP_TUNE['block'],

@@ -308,10 +308,14 @@ def test_augment_pipe_matmul_matches_gather(monkeypatch):
 
 
 @slow
-def test_tiled_vjp_is_adjoint_of_forward():
+@pytest.mark.parametrize('adjoint', ['out', 'in'])
+def test_tiled_vjp_is_adjoint_of_forward(adjoint, monkeypatch):
     # <g, W x> must equal <Wᵀ g, x> exactly (up to fp rounding) on the
-    # TILED path within the coverage contract — the custom VJP pair must be
-    # mutually adjoint, not merely close to the gather reference.
+    # TILED path — the custom VJP pair must be mutually adjoint, not merely
+    # close to the gather reference.  'out' is the adjoint of the
+    # clamped-window forward by construction, for every theta; 'in' (the
+    # default input-tiled transpose) holds within the coverage contract.
+    monkeypatch.setenv('MGT_WARP_ADJOINT', adjoint)
     key = jax.random.PRNGKey(20)
     x = jax.random.normal(key, (3, 96, 96, 2), jnp.float32)
     g = jax.random.normal(jax.random.PRNGKey(21), (3, 88, 88, 2),
@@ -518,12 +522,16 @@ def test_coverage_violation_rate():
 
 
 @slow
-def test_coverage_violation_severity():
-    """The DROPPED COTANGENT MASS of violating thetas, measured against the
-    exact gather adjoint at the full production shape: median violator loses
+def test_coverage_violation_severity(monkeypatch):
+    """The DROPPED COTANGENT MASS of violating thetas under the default
+    input-tiled adjoint (pinned ``MGT_WARP_ADJOINT=in`` — the opt-in
+    out-tiled adjoint is exact for every theta, so the coverage contract
+    measured here applies only to the input-tiled engine), measured against
+    the exact gather adjoint at the full production shape: median violator loses
     <1% of that sample's augment gradient; the 1e5-draw worst case loses
     <50% (measured 40%) — and a covered theta from the same law is exact to
     fp rounding."""
+    monkeypatch.setenv('MGT_WARP_ADJOINT', 'in')
     from montage_gan_tpu.training.augment import WARP_TUNE, _HZ_GEOM
     from montage_gan_tpu.ops.upfirdn2d import upsample2d
     n = 100_000
@@ -574,7 +582,10 @@ def test_warp_guard_falls_back_to_gather(monkeypatch):
     observable in the GRADIENT (the forward is exact either way — forward
     violations are 0 under this law): for a violating batch the guarded
     matmul grads must match the gather grads, while the unguarded matmul
-    grads measurably drop cotangent mass."""
+    grads measurably drop cotangent mass.  Pinned to the input-tiled
+    adjoint (the opt-in out-tiled adjoint never drops mass, making the
+    guard moot there)."""
+    monkeypatch.setenv('MGT_WARP_ADJOINT', 'in')
     from montage_gan_tpu.training.augment import augment_pipe, \
         make_augment_config, sample_warp_theta
     cfg = make_augment_config('bgcfnc')
