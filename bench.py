@@ -213,10 +213,15 @@ def warp_selftest():
     (pa, sa), (pb, sb) = outs['matmul'], outs['gather']
     la = jax.tree_util.tree_leaves(pa)
     lb = jax.tree_util.tree_leaves(pb)
-    # Adam-normalized updates bound a one-step param divergence by ~2·lr per
-    # entry; 3·lr catches a garbage warp (the miscompile class) while
-    # tolerating engine numerics (HIGH-precision matmul vs f32 gather).
-    tol = 3.0 * hyper.lrate + 1e-6
+    # Adam's first-step update is sign-normalized to ±lr per entry, and a
+    # full-reg step (step 0 at reg_interval=2) applies Adam TWICE to the
+    # same params (main + reg phase), so two runs with different-engine
+    # gradients legitimately diverge up to 4·lr per entry (observed 8.0e-3
+    # = 3.2·lr on-chip).  5·lr still catches a garbage warp (the miscompile
+    # class produces O(0.1+) diffs or NaNs, and the 15% stat check below
+    # catches loss-level divergence) while tolerating engine numerics
+    # (HIGH-precision matmul vs f32 gather flipping near-zero grad signs).
+    tol = 5.0 * hyper.lrate + 1e-6
     worst = 0.0
     for a, b in zip(la, lb):
         a, b = np.asarray(a), np.asarray(b)
