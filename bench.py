@@ -74,10 +74,18 @@ BUDGET_S = float(os.environ.get('MGT_BENCH_BUDGET_S', '1200'))
 # the exact amortized reg composition, and mid-interval truncation can only
 # OVERcount reg events (conservative).
 WINDOW_START_IDX = 16
-# Warmup step indices: idx 0 compiles the full-reg combo + the whole tail,
-# idx 4 the G-reg-only combo, idx 1/2 the no-reg combo (twice, the second
-# with per-phase timing for the TF/s dashboard).
-WARMUP_STEP_IDXS = (4, 1, 2)
+# Warmup step indices.  idx 0 (the logged first step) compiles/loads every
+# program but dispatches them SERIALIZED (per-phase progress sync), so it
+# never reaches the async pipeline's peak HBM allocation.  The first truly
+# ASYNC dispatch of each reg combo triggers a one-time allocator
+# grow/defragment stall that costs MINUTES on this 16G part (measured
+# 2026-08-19: first async full-reg step 56 s, then 7.7 s steady; first
+# async G-reg warmup up to 484 s in earlier runs).  The warmup must
+# therefore hit every combo in async mode before the window opens:
+# idx 16 = full-reg (peak allocation, absorbs the big defrag), idx 4 =
+# G-reg, idx 1/2 = no-reg (twice, the second with per-phase timing for
+# the TF/s dashboard).
+WARMUP_STEP_IDXS = (16, 4, 1, 2)
 
 _partial_result = {}
 
@@ -329,13 +337,6 @@ def main():
         for line in phase_report(stats, cfg, hyper, WARMUP_STEP_IDXS[-1]):
             _log(line)
 
-        if os.environ.get('MGT_BENCH_SELFTEST', '1') != '0':
-            if _budget_left() > 240:
-                _log("running matmul-warp on-chip selftest...")
-                warp_selftest()
-            else:
-                _log(f"SKIPPING selftest: {_budget_left():.0f}s budget left")
-
         sync(state)  # drain warmup before opening the timed window
 
         # analytic FLOPs per step index (exact reg composition per step)
@@ -423,9 +424,34 @@ def main():
     _log(f"analytic {result['analytic_tflop_per_step']:.2f} TFLOP/step "
          f"(window-exact), {result['mfu'] * 100:.1f}% MFU of "
          f"{result['mfu_peak_ref']}")
+
+    # The warp-parity selftest runs AFTER the measured window: it builds a
+    # second trainer (two more full train-step programs + device buffers)
+    # whose residency re-triggers the allocator defrag stalls inside the
+    # window if it runs first (measured 2026-08-19: window average 11.7 s
+    # /step with the selftest before it vs ~5.0 s/step clean).  Its verdict
+    # rides in the JSON; a failure still emits the (valid) measurement,
+    # then exits nonzero so the guard stays loud.
+    selftest_error = None
+    if os.environ.get('MGT_BENCH_SELFTEST', '1') != '0':
+        if _budget_left() > 240:
+            _log("running matmul-warp on-chip selftest...")
+            try:
+                warp_selftest()
+                result['selftest'] = 'ok'
+            except AssertionError as e:
+                selftest_error = str(e)
+                result['selftest'] = f'FAILED: {selftest_error}'
+        else:
+            _log(f"SKIPPING selftest: {_budget_left():.0f}s budget left")
+            result['selftest'] = 'skipped (budget)'
+
     n1, mb1 = _cache_status()
     _log(f"compile cache: {n1} entries ({n1 - n0} new), {mb1:.0f} MB")
     _emit(result)
+    if selftest_error is not None:
+        _log(f"selftest FAILED after measurement: {selftest_error}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
