@@ -101,6 +101,7 @@ def main():
         t0 = time.time()
         st, _ = tail(state, stack, crops, jax.random.PRNGKey(1),
                      np.int32(0), **gates)
+        state = None  # donated into the chain — drop the host reference
         sync(st)
         log(f"[{name}] first call (compile/load) {time.time() - t0:.1f}s")
         # steady: re-feed the donated state; keep the chain data-dependent
@@ -112,7 +113,9 @@ def main():
         dt = (time.time() - t0) / ITERS
         results[name] = dt
         log(f"[{name}] steady {dt * 1000:7.1f} ms over {ITERS} iters")
-        # fresh state for the next phase kind (st was donated into the chain)
+        # fresh state for the next phase kind; free the old chain FIRST or
+        # two full states coexist and OOM the 16G part
+        del st
         state = jax.jit(
             lambda k: trainer.init_state(k, batch=4, on_cpu=False))(
             jax.random.PRNGKey(0))
