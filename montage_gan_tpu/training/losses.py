@@ -193,17 +193,32 @@ def local_dmain_loss(diff_d_vars, ens: MontageEnsemble, rep: int,
                      style_mixing_prob=0.9, layer_idx=None,
                      gen_c=None, real_c=None):
     """Dgen + Dreal (reference: custom/loss_aio.py:139-164).
-    frozen = {'mapping', 'g'} variables (no grads)."""
-    k_g, k_aug1, k_aug2 = jax.random.split(rng, 3)
+    frozen = {'mapping', 'g'} variables (no grads).
+
+    The fake and real batches ride through ONE augment-pipe invocation
+    (concat → augment → split): every draw in the pipe is per-sample, so
+    per-sample augment law is identical to two invocations (only the key
+    stream differs — and JAX key streams never matched torch's anyway),
+    while the geometric-warp/filter programs run once at 2B instead of
+    twice at B (the warp's serial window scan amortizes over batch).  D
+    itself still runs per half: minibatch-std groups are STRIDED over the
+    batch axis (models/layers.py MinibatchStd), so a fused D pass would
+    mix fake/real statistics — the reference computes them separately
+    (custom/loss_aio.py:147,163)."""
+    k_g, k_aug1, _ = jax.random.split(rng, 3)
     gen_img, _, new_stats = run_local_g(ens, rep, frozen['mapping'],
                                         frozen['g'], z, k_g,
                                         style_mixing_prob,
                                         layer_idx=layer_idx, c=gen_c)
     gen_img = jax.lax.stop_gradient(gen_img)
-    gen_logits = run_d(ens.local_ds[rep], diff_d_vars, gen_img,
-                       aug_cfg, aug_p, k_aug1, c=gen_c)
-    real_logits = run_d(ens.local_ds[rep], diff_d_vars, real_img,
-                        aug_cfg, aug_p, k_aug2, c=real_c)
+    if aug_cfg is not None:
+        both = augment_pipe(jnp.concatenate([gen_img, real_img], axis=0),
+                            aug_p, k_aug1, aug_cfg)
+        gen_in, real_in = jnp.split(both, 2, axis=0)
+    else:
+        gen_in, real_in = gen_img, real_img
+    gen_logits = ens.local_ds[rep].apply(diff_d_vars, gen_in, gen_c)
+    real_logits = ens.local_ds[rep].apply(diff_d_vars, real_in, real_c)
     loss_dgen = jnp.mean(softplus(gen_logits))
     loss_dreal = jnp.mean(softplus(-real_logits))
     aux = {'moving_stats': new_stats,
@@ -309,6 +324,35 @@ def _global_d_forward(ens: MontageEnsemble, d_vars, renderer_vars, stack,
         lambda d_v, stk, p: fwd(d_v, None, stk, p))(d_vars, stack, aug_p)
 
 
+def _global_d_forward_pair(ens: MontageEnsemble, d_vars, renderer_vars,
+                           stack_a, stack_b, aug_cfg, aug_p, rng,
+                           use_renderer: bool):
+    """Two same-path run_global_D passes fused through ONE renderer +
+    augment invocation (concat → split before D).  Valid because the
+    renderer and every augment draw are per-sample; D still runs per half
+    (strided minibatch-std — see local_dmain_loss).  Halves the global
+    warp/filter invocations in global_Dmain vs two `_global_d_forward`
+    calls (reference contract: custom/loss_aio.py:300-325)."""
+
+    def fwd(d_v, r_v, sa, sb, p):
+        stk = jnp.concatenate([sa, sb], axis=0)
+        if ens.renderer is not None and use_renderer:
+            blended = ens.renderer.apply(r_v, stk)
+        else:
+            blended = normalize_minus11(alpha_composite(normalize_zero1(stk)))
+        if aug_cfg is not None:
+            blended = augment_pipe(blended, p, rng, aug_cfg)
+        a, b = jnp.split(blended, 2, axis=0)
+        return ens.global_d.apply(d_v, a), ens.global_d.apply(d_v, b)
+
+    remat = os.environ.get('MGT_REMAT_GLOBAL_D', '1') != '0'
+    wrap = jax.checkpoint if remat else (lambda f: f)
+    if ens.renderer is not None and use_renderer:
+        return wrap(fwd)(d_vars, renderer_vars, stack_a, stack_b, aug_p)
+    return wrap(lambda d_v, sa, sb, p: fwd(d_v, None, sa, sb, p))(
+        d_vars, stack_a, stack_b, aug_p)
+
+
 def global_gmain_loss(diff, ens: MontageEnsemble, frozen, z, rng,
                       aug_cfg, aug_p, style_mixing_prob=0.9,
                       use_renderer=True):
@@ -341,11 +385,18 @@ def global_dmain_loss(diff_d_vars, ens: MontageEnsemble, frozen,
         ens, {'mapping': frozen['mapping'], 'local_g': frozen['local_g'],
               'stn': frozen['stn']}, z, k_fwd, style_mixing_prob)
     placed = jax.lax.stop_gradient(placed)
-    gen_logits = _global_d_forward(ens, diff_d_vars, frozen.get('renderer'),
-                                   placed, aug_cfg, aug_p, k_aug1, use_renderer)
-    real_logits = _global_d_forward(ens, diff_d_vars, frozen.get('renderer'),
-                                    real_stack, aug_cfg, aug_p, k_aug2,
-                                    use_renderer and global_d_real_use_renderer)
+    real_use_r = use_renderer and global_d_real_use_renderer
+    if real_use_r == use_renderer and placed.shape == real_stack.shape:
+        gen_logits, real_logits = _global_d_forward_pair(
+            ens, diff_d_vars, frozen.get('renderer'), placed, real_stack,
+            aug_cfg, aug_p, k_aug1, use_renderer)
+    else:
+        gen_logits = _global_d_forward(ens, diff_d_vars,
+                                       frozen.get('renderer'), placed,
+                                       aug_cfg, aug_p, k_aug1, use_renderer)
+        real_logits = _global_d_forward(ens, diff_d_vars,
+                                        frozen.get('renderer'), real_stack,
+                                        aug_cfg, aug_p, k_aug2, real_use_r)
     loss = jnp.mean(softplus(gen_logits)) + jnp.mean(softplus(-real_logits))
     aux = {'moving_stats': new_stats,
            'stats': {'Loss/scores/fake': jnp.mean(gen_logits),

@@ -80,6 +80,35 @@ def test_augment_p_zero_is_identity_in_distribution():
     assert err.mean() < 5e-3, err.mean()
 
 
+def test_augment_concat_fusion_is_per_sample():
+    """Dmain fuses fake+real through ONE augment invocation
+    (losses.local_dmain_loss / _global_d_forward_pair): valid iff every
+    pipe stage draws per-sample.  Under ``debug_percentile`` all parameter
+    draws are fixed quantiles (key-independent), so
+    ``augment(concat(a, b)) == concat(augment(a), augment(b))`` must hold
+    exactly — with DIFFERENT keys on the separate calls to prove
+    key-independence.  (The noise stage's field is random even in debug
+    mode, matching the reference, so it is excluded here.)"""
+    rng = np.random.RandomState(5)
+    a = rng.uniform(-1, 1, size=(3, 32, 32, 4)).astype(np.float32)
+    b = rng.uniform(-1, 1, size=(3, 32, 32, 4)).astype(np.float32)
+    for spec_cfg in (make_augment_config("bgcf"), AugmentConfig(cutout=1.0)):
+        fused = augment_pipe(
+            jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], axis=0),
+            jnp.asarray(0.7), jax.random.PRNGKey(7), spec_cfg,
+            debug_percentile=0.41)
+        ya = augment_pipe(jnp.asarray(a), jnp.asarray(0.7),
+                          jax.random.PRNGKey(8), spec_cfg,
+                          debug_percentile=0.41)
+        yb = augment_pipe(jnp.asarray(b), jnp.asarray(0.7),
+                          jax.random.PRNGKey(9), spec_cfg,
+                          debug_percentile=0.41)
+        np.testing.assert_allclose(np.asarray(fused),
+                                   np.concatenate([np.asarray(ya),
+                                                   np.asarray(yb)], axis=0),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_augment_noise_and_cutout_stats():
     rng = np.random.RandomState(4)
     x = np.zeros((8, 32, 32, 4), dtype=np.float32)

@@ -200,6 +200,77 @@ def test_global_phase_w_avg_sequential_updates():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_dmain_fused_augment_matches_separate_calls(monkeypatch):
+    """Dmain runs fake‖real through ONE augment invocation then D per half
+    (losses.local_dmain_loss, losses._global_d_forward_pair).  Under
+    ``debug_percentile`` the pipe is key-independent, so the fused loss must
+    EXACTLY equal the reference-shaped computation (separate augment per
+    batch, separate D passes) — pinning the concat/split wiring, the
+    conditioning plumbing, and that minibatch-std never sees mixed halves."""
+    import functools
+
+    from montage_gan_tpu.training import losses
+    from montage_gan_tpu.training.augment import augment_pipe as real_pipe
+
+    ens, trainer = tiny_setup()
+    variables = ens.init_variables(jax.random.PRNGKey(0), batch=BATCH)
+    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, ens.cfg.z_dim))
+    stack, crops = fake_batch(ens, jax.random.PRNGKey(2))
+    aug = AugmentConfig(xflip=1, brightness=1, cutout=1)
+    p = jnp.float32(0.8)
+    rng = jax.random.PRNGKey(3)
+
+    monkeypatch.setattr(losses, 'augment_pipe',
+                        functools.partial(real_pipe, debug_percentile=0.37))
+
+    # --- local layer 0
+    loss, aux = losses.local_dmain_loss(
+        variables['local_d'][0], ens, 0,
+        {'mapping': variables['mapping'], 'g': variables['local_g'][0]},
+        z, crops[0], rng, aug, p)
+
+    k_g, _, _ = jax.random.split(rng, 3)
+    gen_img, _, _ = losses.run_local_g(
+        ens, 0, variables['mapping'], variables['local_g'][0], z, k_g, 0.9)
+    gen_img = jax.lax.stop_gradient(gen_img)
+    gen_ref = ens.local_ds[0].apply(
+        variables['local_d'][0],
+        real_pipe(gen_img, p, jax.random.PRNGKey(99), aug,
+                  debug_percentile=0.37), None)
+    real_ref = ens.local_ds[0].apply(
+        variables['local_d'][0],
+        real_pipe(crops[0], p, jax.random.PRNGKey(98), aug,
+                  debug_percentile=0.37), None)
+    expected = jnp.mean(jax.nn.softplus(gen_ref)) \
+        + jnp.mean(jax.nn.softplus(-real_ref))
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+
+    # --- global: fused pair path vs two separate forwards
+    frozen = {'mapping': variables['mapping'],
+              'local_g': tuple(variables['local_g']),
+              'stn': variables['stn'],
+              'renderer': variables.get('renderer'),
+              'global_d': variables['global_d']}
+    gloss, _ = losses.global_dmain_loss(
+        variables['global_d'], ens, frozen, z, stack, rng, aug, p)
+
+    k_fwd, _, _ = jax.random.split(rng, 3)
+    placed, _, _ = losses._global_g_forward(
+        ens, {'mapping': frozen['mapping'], 'local_g': frozen['local_g'],
+              'stn': frozen['stn']}, z, k_fwd, 0.9)
+    placed = jax.lax.stop_gradient(placed)
+    gl = losses._global_d_forward(ens, variables['global_d'],
+                                  frozen['renderer'], placed, aug, p,
+                                  jax.random.PRNGKey(97), True)
+    rl = losses._global_d_forward(ens, variables['global_d'],
+                                  frozen['renderer'], stack, aug, p,
+                                  jax.random.PRNGKey(96), True)
+    gexpected = jnp.mean(jax.nn.softplus(gl)) + jnp.mean(jax.nn.softplus(-rl))
+    np.testing.assert_allclose(np.asarray(gloss), np.asarray(gexpected),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_global_d_remat_switch_is_semantics_neutral(monkeypatch):
     """MGT_REMAT_GLOBAL_D=0 removes the jax.checkpoint around the renderer →
     augment → global-D chain (an HBM/FLOPs trade, losses._global_d_forward);
