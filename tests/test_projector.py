@@ -67,3 +67,44 @@ def test_projector_cli(tiny_snapshot, tmp_path, noise_flag):
     assert getattr(gif, 'is_animated', False) or gif.n_frames >= 1
     # side-by-side target|synth layout → width is 2x the target's
     assert gif.size[0] == 2 * gif.size[1]
+
+
+def test_generate_replays_projected_w(tiny_snapshot, tmp_path):
+    """The inversion → regenerate loop (reference: generate.py:92-103 replays
+    projector.py's projected_w.npz): project a target, then
+    ``generate --projected-w`` must reproduce the projector's own final
+    render through the ensemble path.  With --no-optimize-noise the replay
+    uses the same const noise buffers, so the match is near-exact."""
+    from click.testing import CliRunner
+    from montage_gan_tpu.cli.generate import main as gen_main
+    from montage_gan_tpu.cli.projector import main as proj_main
+    from PIL import Image
+
+    path, target_path = tiny_snapshot
+    proj_dir = str(tmp_path / 'proj')
+    res = CliRunner().invoke(
+        proj_main, ['--network', path, '--target', target_path,
+                    '--num-steps', '3', '--outdir', proj_dir,
+                    '--no-optimize-noise'])
+    assert res.exit_code == 0, res.output
+
+    gen_dir = str(tmp_path / 'replay')
+    res = CliRunner().invoke(
+        gen_main, ['--network', path, '--outdir', gen_dir, '--save-layers',
+                   '--projected-w', os.path.join(proj_dir,
+                                                 'projected_w.npz')])
+    assert res.exit_code == 0, res.output
+    replay = np.asarray(Image.open(os.path.join(gen_dir, 'proj00.png')),
+                        np.float32) / 255.0
+    ref = np.asarray(Image.open(os.path.join(proj_dir, 'proj.png')),
+                     np.float32) / 255.0
+    mse = float(np.mean(np.square(replay - ref)))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40.0, f'replay PSNR {psnr:.1f} dB'
+    # per-layer dumps ride along
+    assert os.path.exists(os.path.join(gen_dir, 'proj00-0_a.png'))
+
+    # seeds become optional only when --projected-w is given
+    res = CliRunner().invoke(gen_main, ['--network', path,
+                                        '--outdir', gen_dir])
+    assert res.exit_code != 0
