@@ -39,7 +39,15 @@ if jax.default_backend() == "tpu":
 from montage_gan_tpu.training import augment as aug_mod
 from montage_gan_tpu.training.augment import augment_pipe, make_augment_config
 
-MB, H, W, C = 16, 256, 256, 4
+# Geometry via argv (default: the 256-px ADA shape).  The production
+# local-D crops are non-square (reference custom/dataset_aio.py:30-83) —
+# sweep each with `python docs/tools/warp_sweep.py H W [MB]` and record the
+# per-geometry optimum in training/augment.py WARP_TUNE_BY_GEOM.
+import sys as _sys
+H = int(_sys.argv[1]) if len(_sys.argv) > 1 else 256
+W = int(_sys.argv[2]) if len(_sys.argv) > 2 else 256
+MB = int(_sys.argv[3]) if len(_sys.argv) > 3 else 16
+C = 4
 ITERS = 16
 
 _RTT = []
@@ -80,8 +88,10 @@ def chained_time(fn, x, iters=ITERS):
 def measure(tune, x, p, key, cfg, baseline_out=None):
     """(t_fwd, t_fwdbwd, t_gg, max_abs_diff_vs_baseline) for one config."""
     old = dict(aug_mod.WARP_TUNE)
+    old_geom = dict(aug_mod.WARP_TUNE_BY_GEOM)
     aug_mod.WARP_TUNE.clear()
     aug_mod.WARP_TUNE.update(tune)
+    aug_mod.WARP_TUNE_BY_GEOM.clear()  # sweep the base table, unmasked
     try:
         fwd = lambda xx: augment_pipe(xx, p, key, cfg)
 
@@ -108,6 +118,7 @@ def measure(tune, x, p, key, cfg, baseline_out=None):
     finally:
         aug_mod.WARP_TUNE.clear()
         aug_mod.WARP_TUNE.update(old)
+        aug_mod.WARP_TUNE_BY_GEOM.update(old_geom)
 
 
 def score(t):
@@ -133,9 +144,10 @@ def main():
     knobs = [
         ('precision', [lax.Precision.HIGH]),
         ('chunk', [128, 32]),
-        (('tile', 'block'), [(64, 128), (48, 96)]),
+        (('tile', 'block'), [(64, 128), (48, 96), (16, 48)]),
         ('chunk_t', [8, 24, 32]),
-        (('tile_t', 'block_t'), [(48, 224), (64, 288)]),
+        (('tile_t', 'block_t'), [(48, 224), (64, 288), (16, 96),
+                                 (24, 128)]),
     ]
     for name, cands in knobs:
         for cand in cands:
