@@ -69,10 +69,13 @@ BATCH = 32
 # PL events per 16 steps at the canonical intervals 16/4).
 MIN_WINDOW = 16
 MEASURE_STEPS = int(os.environ.get('MGT_BENCH_STEPS', '32'))
-# Default budget: the driver's external timeout is >=1620s (round-2's kill
-# came after >=27 min of cache writes), so 1500s of internal budget + ~60s
-# teardown still finishes under it while giving the full 32-step window and
-# the selftest room on a warm cache.
+# Default budget: the driver's external timeout is >=1620s — a LOWER BOUND
+# from one observation (round-2's kill came after >=27 min of cache
+# writes), not a known limit.  1500s of internal budget + ~60s teardown
+# fits under that bound on a warm cache; on a COLD cache the budget check
+# below skips the selftest early and the SIGTERM handler still emits the
+# best partial window, so a tighter true timeout degrades the result
+# instead of losing it (ADVICE r3).
 BUDGET_S = float(os.environ.get('MGT_BENCH_BUDGET_S', '1500'))
 # Timed window starts here: ≡ 0 (mod 16) so any multiple-of-16 prefix has
 # the exact amortized reg composition, and mid-interval truncation can only
@@ -153,13 +156,61 @@ def phase_report(stats, cfg, hyper, step_idx):
         if not k.startswith('Timing/'):
             continue
         name = k[len('Timing/'):]
-        if name in pf and float(v) > 0:
-            rate = pf[name] / float(v) / 1e12
+        # fused dispatch groups ('global_Dmain+ema_ada') sum their parts
+        fl = sum(pf.get(part, 0.0) for part in name.split('+'))
+        if fl > 0 and float(v) > 0:
+            rate = fl / float(v) / 1e12
             lines.append(f"{k}: {float(v):.2f}s  "
-                         f"({pf[name] / 1e12:.1f} TFLOP → {rate:.1f} TF/s)")
+                         f"({fl / 1e12:.1f} TFLOP → {rate:.1f} TF/s)")
         else:
             lines.append(f"{k}: {float(v):.2f}s")
     return lines
+
+
+def augment_report(cfg, hyper):
+    """Measure the ADA augment pipe's wall cost per local geometry (fwd =
+    Dmain's role, fwd+bwd = Gmain's role) at the production microbatch —
+    the share of phase time the analytic FLOP model cannot see
+    (utils/flops.py excludes augmentation; full decomposition incl. the
+    R1 grad-of-grad role: docs/PERF.md).  Returns {"HxW": [fwd_ms,
+    fwdbwd_ms], ...}; ~12 small programs, cached after the first run."""
+    from jax import lax
+
+    from montage_gan_tpu.training.augment import augment_pipe
+
+    mb = hyper.microbatch or hyper.batch_size
+    p = jnp.float32(min(0.6, hyper.aug_p_max))
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+
+    def chained(fn, x, iters=8):
+        def run_fn(x0):
+            def body(eps, _):
+                out = fn(x0 + eps.astype(x0.dtype))
+                return out.reshape(-1)[0].astype(jnp.float32) * 1e-30, None
+
+            return lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+
+        run = jax.jit(run_fn)
+        float(jax.device_get(run(x)))  # compile + warm
+        t0 = time.time()
+        float(jax.device_get(run(x)))
+        return (time.time() - t0) / iters
+
+    out = {}
+    for geom in sorted(set(cfg.layer_targets), key=lambda t: -t[0] * t[1]):
+        h, w = geom
+        x = jnp.asarray(rng.uniform(-1, 1, (mb, h, w, 4)), jnp.float32)
+        fwd = lambda xx: augment_pipe(xx, p, key, hyper.augment)
+        bwd = lambda xx: jax.grad(
+            lambda a: jnp.sum(jnp.tanh(augment_pipe(a, p, key,
+                                                    hyper.augment))))(xx)
+        t_f = chained(fwd, x)
+        t_b = chained(bwd, x)
+        out[f'{h}x{w}'] = [round(t_f * 1e3, 1), round(t_b * 1e3, 1)]
+        _log(f"augment[{h}x{w} mb{mb}]: fwd {t_f * 1e3:6.1f} ms  "
+             f"fwd+bwd {t_b * 1e3:6.1f} ms")
+    return out
 
 
 def warp_selftest():
@@ -289,7 +340,13 @@ def main():
                        # safely; the global/renderer phases backprop through
                        # all 9 local Gs at once and need rounds of 8.
                        microbatch=16,
-                       global_microbatch=8)
+                       global_microbatch=8,
+                       # bucket mode vmaps the four 256² layers in one
+                       # program; 4 × 8 = 32 images per accumulation round
+                       # keeps the per-dispatch working set at one
+                       # full-batch phase's (known to fit next to the
+                       # resident state under async dispatch)
+                       bucket_microbatch=8)
     trainer = MontageTrainer(ens, hyper)
     executor = PhaseExecutor(trainer)
 
@@ -428,6 +485,16 @@ def main():
     _log(f"analytic {result['analytic_tflop_per_step']:.2f} TFLOP/step "
          f"(window-exact), {result['mfu'] * 100:.1f}% MFU of "
          f"{result['mfu_peak_ref']}")
+
+    # Augment wall-cost dashboard (VERDICT r3: the analytic TF/s lines are
+    # blind to the warp's real MXU time) — cheap after its ~12 small
+    # programs are cached; skipped when the budget is tight.
+    if os.environ.get('MGT_BENCH_AUG_SHARE', '1') != '0' \
+            and _budget_left() > 420:
+        try:
+            result['augment_ms'] = augment_report(cfg, hyper)
+        except Exception as e:
+            _log(f"augment report failed (non-fatal): {str(e)[:200]}")
 
     # The warp-parity selftest runs AFTER the measured window: it builds a
     # second trainer (two more full train-step programs + device buffers)

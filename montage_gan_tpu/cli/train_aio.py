@@ -111,11 +111,13 @@ def next_run_dir(outdir: str, desc: str) -> str:
 @click.option('--global-batch-gpu', type=int, default=None,
               help='Microbatch for the global/renderer phases (HBM '
                    'high-water mark); defaults to --batch-gpu')
-@click.option('--merge-locals', type=click.Choice(['per_layer', 'all']),
-              default='per_layer',
-              help='Local-phase program granularity: one program per layer '
-                   'geometry (fast compiles) or ALL layers in one program '
-                   '(fewest dispatches; long first compile)')
+@click.option('--merge-locals', type=click.Choice(['bucket', 'per_layer', 'all']),
+              default='bucket',
+              help='Local-phase program granularity: same-geometry layers '
+                   'vmapped per bucket (default; fastest), one program per '
+                   'layer geometry dispatched per layer (exact reference '
+                   'phase order), or ALL layers in one program (fewest '
+                   'dispatches; long first compile, needs >16G HBM)')
 @click.option('--trace', 'trace_dir', default=None, metavar='DIR',
               help='Write a profiler trace of a few post-warmup steps')
 @click.option('--save-all-layers', is_flag=True, default=False)

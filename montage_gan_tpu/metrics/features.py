@@ -28,6 +28,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def weights_dropin_dir() -> str:
+    """The offline weights drop-in directory (``MGT_WEIGHTS_DIR``, default
+    ``~/.cache/montage_gan_tpu/weights``).  Converted detector ``.npz`` files
+    placed here are picked up automatically when the per-detector env vars
+    are unset — the one-directory handoff `check-weights` documents."""
+    return os.environ.get(
+        'MGT_WEIGHTS_DIR',
+        os.path.join(os.path.expanduser('~'), '.cache', 'montage_gan_tpu',
+                     'weights'))
+
+
+def resolve_weights(env: str, dropin_name: str) -> Optional[str]:
+    """Env var first, then the drop-in directory; None if neither exists."""
+    path = os.environ.get(env)
+    if path:
+        return path
+    cand = os.path.join(weights_dropin_dir(), dropin_name)
+    return cand if os.path.exists(cand) else None
+
+
 class RandomFeatures:
     """Deterministic random conv pyramid (LeCun-normal, fixed seed)."""
 
@@ -91,8 +111,8 @@ class InceptionV3Features:
 
     def __init__(self, weights_path: Optional[str] = None):
         from . import inception_net
-        self.weights_path = weights_path or os.environ.get(
-            'MGT_INCEPTION_WEIGHTS')
+        self.weights_path = weights_path or resolve_weights(
+            'MGT_INCEPTION_WEIGHTS', 'inception.npz')
         if not self.weights_path or not os.path.exists(self.weights_path):
             raise FileNotFoundError(
                 'InceptionV3 weights not available. Convert the standard '
@@ -123,8 +143,8 @@ class VGG16Features:
 
     def __init__(self, weights_path: Optional[str] = None):
         from . import vgg16_net
-        self.weights_path = weights_path or os.environ.get(
-            'MGT_VGG16_WEIGHTS')
+        self.weights_path = weights_path or resolve_weights(
+            'MGT_VGG16_WEIGHTS', 'vgg16.npz')
         if not self.weights_path or not os.path.exists(self.weights_path):
             raise FileNotFoundError(
                 'VGG16 weights not available. Convert once with '

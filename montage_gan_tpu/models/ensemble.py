@@ -209,16 +209,49 @@ class MontageEnsemble:
 
         Returns ``[B, L, base, base, C]`` in [-1, 1] (pad value -1), matching
         make_batch_for_pos_estimator(pad_value=-1) in the reference
-        (custom/loss_aio.py:238-241)."""
-        outs = []
-        for i, g in enumerate(self.local_gs):
-            rngs = {}
+        (custom/loss_aio.py:238-241).  Same-geometry layers run vmapped
+        over stacked params (one batched forward per geometry bucket
+        instead of L unrolled ones — exact: per-layer noise keys
+        ``fold_in(noise_rng, i)`` are reproduced inside the vmap)."""
+        outs: list = [None] * self.cfg.num_layers
+        by_geom: Dict[Any, list] = {}
+        for i in range(self.cfg.num_layers):
+            by_geom.setdefault(self.cfg.layer_targets[i], []).append(i)
+        for idxs in by_geom.values():
+            rep = idxs[0]
+            g = self.local_gs[rep]
+            if len(idxs) == 1:
+                rngs = {}
+                if noise_mode == 'random':
+                    assert noise_rng is not None
+                    rngs['noise'] = jax.random.fold_in(noise_rng, rep)
+                outs[rep] = g.apply(variables['local_g'][rep],
+                                    self.ws_for_layer(ws, rep),
+                                    noise_mode=noise_mode, rngs=rngs)
+                continue
+            g_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[variables['local_g'][i] for i in idxs])
+            li_vec = jnp.asarray(idxs, jnp.int32)
+            ws_stack = jnp.stack(
+                [self.ws_for_layer(ws, i, num_ws=g.num_ws) for i in idxs])
             if noise_mode == 'random':
                 assert noise_rng is not None
-                rngs['noise'] = jax.random.fold_in(noise_rng, i)
-            outs.append(g.apply(variables['local_g'][i],
-                                self.ws_for_layer(ws, i),
-                                noise_mode=noise_mode, rngs=rngs))
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(noise_rng, i))(li_vec)
+
+                def one(gv, w_in, key):
+                    return g.apply(gv, w_in, noise_mode='random',
+                                   rngs={'noise': key})
+
+                imgs = jax.vmap(one)(g_stack, ws_stack, keys)
+            else:
+                def one(gv, w_in):
+                    return g.apply(gv, w_in, noise_mode=noise_mode)
+
+                imgs = jax.vmap(one)(g_stack, ws_stack)
+            for j, i in enumerate(idxs):
+                outs[i] = imgs[j]
         return make_batch_for_pos_estimator(outs, self.cfg.base_resolution,
                                             pad_value=-1.0)
 

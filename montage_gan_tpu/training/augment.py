@@ -219,8 +219,27 @@ _HZ_GEOM = setup_filter(WAVELETS['sym6'])
 # below for the coverage contract at these values).  Module-level so the
 # on-chip sweep tool (docs/tools/warp_sweep.py) can override them before
 # tracing; static at trace time.
-WARP_TUNE = dict(tile=32, block=64, tile_t=32, block_t=160,
-                 chunk=64, chunk_t=16, precision=jax.lax.Precision.DEFAULT)
+# 2026-08-20 extended sweep at the 256-px ADA shape (docs/tools/
+# warp_sweep.py 256 256 16, v5e): fwd 30.6 / fwd+bwd 103.7 / gg 201.0 ms,
+# −5% score vs the round-3 optimum (tile 32/block 64, tile_t 32/block_t
+# 160: 31.9/108.9/209.0).  Coverage bounds at the new values are
+# equal-or-better: transpose |J⁻¹| ≤ 128/(2·23+13) = 2.17 (was 2.13),
+# forward |J| ≤ (96−13)·2/48 = 3.46 (was 3.19).
+WARP_TUNE = dict(tile=48, block=96, tile_t=24, block_t=128,
+                 chunk=32, chunk_t=24, precision=jax.lax.Precision.DEFAULT)
+
+# Per-input-geometry overrides (keyed by the (H, W) of the image entering
+# the pipe — the per-layer local-D crop shapes, reference
+# custom/dataset_aio.py:30-83).  The base WARP_TUNE was swept at 256²;
+# smaller canvases prefer smaller transpose windows (the |J⁻¹| coverage
+# reach scales with the plane, the per-tile fixed costs don't).  Populate
+# from `python docs/tools/warp_sweep.py H W` runs on the target part
+# (docs/PERF.md records the v5e sweeps).
+WARP_TUNE_BY_GEOM: dict = {}
+
+
+def _warp_tune_for(height: int, width: int) -> dict:
+    return {**WARP_TUNE, **WARP_TUNE_BY_GEOM.get((height, width), {})}
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +421,7 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
             # 1e5 draws) applies to both engines.  MGT_WARP_ADJOINT=out
             # selects an adjoint that is exact for EVERY theta (measured
             # ~27% slower bwd on v5e — numbers in ops/affine_warp.py).
+            tune = _warp_tune_for(height, width)
             if os.environ.get('MGT_WARP_GUARD', '0') == '1':
                 # Runtime escape hatch for out-of-contract thetas: when any
                 # sample in the batch exceeds a coverage bound, the whole
@@ -415,19 +435,19 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
                 # grads at lower cost use MGT_WARP_ADJOINT=out instead.
                 fwd_ex, bwd_ex = coverage_excess(
                     G[:, :2, :], x.shape[1], x.shape[2], out_h, out_w,
-                    tile=WARP_TUNE['tile'], block=WARP_TUNE['block'],
-                    tile_t=WARP_TUNE['tile_t'], block_t=WARP_TUNE['block_t'],
+                    tile=tune['tile'], block=tune['block'],
+                    tile_t=tune['tile_t'], block_t=tune['block_t'],
                     up=2, n_taps=int(_HZ_GEOM.shape[0]))
                 violated = jnp.any((fwd_ex > 0) | (bwd_ex > 0))
                 x = jax.lax.cond(
                     violated, _gather_warp,
                     lambda xx: affine_warp(xx, G[:, :2, :], out_h, out_w,
                                            up=2, up_filter=_HZ_GEOM,
-                                           **WARP_TUNE),
+                                           **tune),
                     x)
             else:
                 x = affine_warp(x, G[:, :2, :], out_h, out_w,
-                                up=2, up_filter=_HZ_GEOM, **WARP_TUNE)
+                                up=2, up_filter=_HZ_GEOM, **tune)
         else:
             x = _gather_warp(x)
         images = downsample2d(x, _HZ_GEOM, down=2, padding=-hz_pad * 2,

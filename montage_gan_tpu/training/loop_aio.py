@@ -151,7 +151,7 @@ def training_loop(
         progress_fn: Optional[Callable[[int, int], None]] = None,
         run_once: bool = False,
         use_phase_executor: bool = True,
-        merge_locals: str = 'per_layer',
+        merge_locals: str = 'bucket',
         save_all_layers: bool = False,
         run_latent_interpolation: bool = False,
         trace_dir: Optional[str] = None,

@@ -268,30 +268,93 @@ def theta_constrain_loss(theta: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(jnp.square(theta - clamped)) + 1e-20)
 
 
+def _geometry_buckets(ens: MontageEnsemble):
+    """[(rep, [layer indices])] grouping same-geometry layers, in
+    first-layer order (the vmap axis of the global forward and of the
+    PhaseExecutor's bucket mode)."""
+    reps: Dict[Any, list] = {}
+    buckets = []
+    for i in range(ens.cfg.num_layers):
+        key = ens.cfg.layer_targets[i]
+        if key not in reps:
+            reps[key] = []
+            buckets.append((i, reps[key]))
+        reps[key].append(i)
+    return buckets
+
+
+def seq_moving_stats(beta: float, old_stats, stacked_new, k: int):
+    """Closed-form k-step sequential w_avg EMA from per-layer updates that
+    were each computed from the SAME old value (w_avg never feeds the
+    training forward, so the per-layer batch means are exactly the
+    sequential-mode means): ``β^k·old + Σ_j β^(k−1−j)·(new_j − β·old)``
+    equals applying the k updates one after another
+    (reference: custom/loss_aio.py:238-243 → mapping forward; pinned by
+    tests/test_bucket_exec.py and test_global_phase_w_avg_sequential_updates).
+    """
+    if not jax.tree_util.tree_leaves(old_stats):
+        return old_stats
+    wts = jnp.asarray([beta ** (k - 1 - j) for j in range(k)], jnp.float32)
+
+    def seq(old, news):
+        return (beta ** k) * old + jnp.tensordot(wts, news - beta * old,
+                                                 axes=1)
+
+    return jax.tree_util.tree_map(seq, old_stats, stacked_new)
+
+
 def _global_g_forward(ens: MontageEnsemble, diff, z, rng,
                       style_mixing_prob):
     """run_global_G (reference: custom/loss_aio.py:238-243).
-    diff = {'mapping', 'local_g': tuple, 'stn'} variables."""
+    diff = {'mapping', 'local_g': tuple, 'stn'} variables.
+
+    Same-geometry local Gs run VMAPPED over stacked params (the four 256²
+    layers become one batched forward at 4× batch instead of four unrolled
+    segments) — EXACT, not an approximation: the mapping parameters are
+    constant across the per-layer calls inside this forward, every
+    per-layer RNG stream is reproduced (keys fold_in(k_noise, i)), and the
+    reference's N sequential w_avg EMA updates are recovered in closed
+    form (seq_moving_stats)."""
     k_mix, k_noise, k_stn = jax.random.split(rng, 3)
-    outs = []
     mapping_vars = diff['mapping']
-    new_stats = mapping_vars.get('moving_stats')
-    # Remat of the 9 local-G forwards costs one extra G-chain forward per
+    old_stats = mapping_vars.get('moving_stats')
+    num_layers = ens.cfg.num_layers
+    # Remat of the local-G forwards costs one extra G-chain forward per
     # backward (~+8 TFLOP/step at cfg 'aio', NOT counted by utils/flops.py).
     # Needed on 16G parts at the production global microbatch;
     # ``MGT_REMAT_GLOBAL_G=0`` drops it where HBM allows (semantics-neutral).
     remat_g = os.environ.get('MGT_REMAT_GLOBAL_G', '1') != '0'
-    for i in range(ens.cfg.num_layers):
-        # Thread moving_stats through the loop: the reference's run_global_G
-        # calls run_G per layer and each mapping call EMA-updates w_avg
-        # in place — N sequential updates per global phase
-        # (custom/loss_aio.py:238-243 → :67 mapping forward).
-        img, _, new_stats = run_local_g(ens, i, mapping_vars,
-                                        diff['local_g'][i], z,
-                                        jax.random.fold_in(k_noise, i),
-                                        style_mixing_prob, remat=remat_g)
-        mapping_vars = {**mapping_vars, 'moving_stats': new_stats}
-        outs.append(img)
+    outs = [None] * num_layers
+    news = [None] * num_layers
+    for rep, idxs in _geometry_buckets(ens):
+        if len(idxs) == 1:
+            i = idxs[0]
+            img, _, ns = run_local_g(ens, i, mapping_vars,
+                                     diff['local_g'][i], z,
+                                     jax.random.fold_in(k_noise, i),
+                                     style_mixing_prob, remat=remat_g)
+            outs[i], news[i] = img, ns
+            continue
+        g_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[diff['local_g'][i] for i in idxs])
+        li_vec = jnp.asarray(idxs, jnp.int32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(k_noise, i))(li_vec)
+
+        def one(g_vars_i, key_i, li, rep=rep):
+            return run_local_g(ens, rep, mapping_vars, g_vars_i, z, key_i,
+                               style_mixing_prob, layer_idx=li,
+                               remat=remat_g)
+
+        imgs, _, ns = jax.vmap(one)(g_stack, keys, li_vec)
+        for j, i in enumerate(idxs):
+            outs[i] = imgs[j]
+            news[i] = jax.tree_util.tree_map(lambda x, j=j: x[j], ns)
+    if old_stats is not None and jax.tree_util.tree_leaves(old_stats):
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *news)
+        new_stats = seq_moving_stats(float(ens.mapping.w_avg_beta),
+                                     old_stats, stacked, num_layers)
+    else:
+        new_stats = news[-1]
     stack = make_batch_for_pos_estimator(outs, ens.cfg.base_resolution,
                                          pad_value=-1.0)
     placed, theta = ens.stn.apply(diff['stn'], stack)

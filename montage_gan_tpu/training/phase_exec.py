@@ -85,12 +85,31 @@ def _phase_key(rng, layer_idx, j):
 
 class PhaseExecutor:
     def __init__(self, trainer: MontageTrainer,
-                 merge_locals: str = 'per_layer'):
-        """``merge_locals``: 'per_layer' (one program per phase kind ×
-        layer geometry; small artifacts, ~22 dispatches/step) or 'all'
-        (every layer's phases in ONE program per reg combo; fewest
-        dispatches but the largest compiles)."""
-        assert merge_locals in ('per_layer', 'all')
+                 merge_locals: str = 'bucket'):
+        """``merge_locals``:
+
+        * 'bucket' (default) — same-geometry layers run VMAPPED over
+          stacked per-layer params, one program per phase kind per
+          geometry bucket (SURVEY §7.1 "vectorize the layer axis"): the
+          production 9-layer config's four 256² layers become ONE
+          Gmain/Dmain/… dispatch at 4× effective batch instead of four
+          low-utilization dispatches.  Within a bucket the G-phase
+          gradients are computed at the bucket-entry mapping parameters
+          (the reference updates the shared mapping between consecutive
+          layers' phases — an in-step staleness of order lr·lr_mult ≈
+          2.5e-5 on the mapping, pinned within tolerance by
+          tests/test_bucket_exec.py; singleton buckets are EXACTLY the
+          per-layer programs).  Per-layer Adam moments, RNG streams, and
+          the w_avg EMA sequence are preserved exactly (the sequential
+          EMA is applied in closed form from the vmapped batch means).
+        * 'per_layer' — one program per phase kind × layer geometry,
+          dispatched per layer in the reference's exact order (bit-exact
+          reference phase semantics; ~22 dispatches/step).
+        * 'all' — every layer's phases in ONE program per reg combo
+          (fewest dispatches, largest compiles; needs >16G HBM at the
+          production config).
+        """
+        assert merge_locals in ('per_layer', 'all', 'bucket')
         self.merge_locals = merge_locals
         self.trainer = trainer
         self.ens = trainer.ens
@@ -102,6 +121,14 @@ class PhaseExecutor:
             key = self.ens.cfg.layer_targets[i]
             self._geom_rep.setdefault(key, i)
             self._geom_of_layer.append(self._geom_rep[key])
+        # geometry buckets in first-layer order: [(rep, [layer indices])]
+        self._buckets = []
+        by_rep: Dict[int, list] = {}
+        for i, rep in enumerate(self._geom_of_layer):
+            if rep not in by_rep:
+                by_rep[rep] = []
+                self._buckets.append((rep, by_rep[rep]))
+            by_rep[rep].append(i)
         self._fns: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
@@ -304,6 +331,314 @@ class PhaseExecutor:
                 sign_count, stats)
 
     # ------------------------------------------------------------------
+    # Geometry-bucket programs: k same-geometry layers vmapped over
+    # stacked params, one dispatch per phase kind per bucket
+    # (SURVEY §7.1; VERDICT r3 top-next).  RNG streams are the per-layer
+    # streams exactly (keys fold_in(rng, 4i+1+j) vmapped over the layer
+    # index vector), so every z / style-mix / augment draw matches the
+    # per-layer mode draw-for-draw; the only numerical deviation is the
+    # G-phase mapping staleness documented on __init__.
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _stack_trees(ts):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ts)
+
+    @staticmethod
+    def _unstack_tree(t, k):
+        return tuple(jax.tree_util.tree_map(lambda x, j=j: x[j], t)
+                     for j in range(k))
+
+    def _seq_moving_stats(self, old_stats, stacked_new, k):
+        """Closed-form k-step sequential w_avg EMA from vmapped updates
+        (losses.seq_moving_stats — each lane computed its update from the
+        SAME old value, which is exactly the sequential-mode information
+        since w_avg never feeds the training forward)."""
+        return losses.seq_moving_stats(
+            float(self.ens.mapping.w_avg_beta or 0.0), old_stats,
+            stacked_new, k)
+
+    def _bucket_gmain_fn(self, rep: int, k: int, batch: int):
+        key = ('bgmain', rep, k, batch)
+        if key in self._fns:
+            return self._fns[key]
+        ens, hyper = self.ens, self.hyper
+        from .train_step import accum_value_and_grad
+        rounds = hyper.bucket_accum_rounds
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def fn(m_vars, g_tuple, opt_tuple, d_tuple, li_vec, rng, aug_p):
+            gs = self._stack_trees(g_tuple)
+            ds = self._stack_trees(d_tuple)
+            ops = self._stack_trees(opt_tuple)
+            keys = jax.vmap(lambda i: _phase_key(rng, i, 0))(li_vec)
+            p_vec = aug_p[li_vec]
+
+            def one(g_vars_i, d_vars_i, li, p_i, key_i):
+                z = jax.random.normal(jax.random.fold_in(key_i, 0),
+                                      (batch, ens.cfg.z_dim))
+
+                def loss(params_t, data_t, rng_mb):
+                    m_params, g_params = params_t
+                    (z_mb,) = data_t
+                    diff = {'mapping': {**m_vars, 'params': m_params},
+                            'g': {**g_vars_i, 'params': g_params}}
+                    return losses.local_gmain_loss(
+                        diff, ens, rep, d_vars_i, z_mb, rng_mb,
+                        self.trainer._local_aug, p_i,
+                        hyper.style_mixing_prob, layer_idx=li)
+
+                (_, aux), grads = accum_value_and_grad(
+                    loss, (m_vars['params'], g_vars_i['params']), (z,),
+                    jax.random.fold_in(key_i, 1), rounds)
+                return grads[0], grads[1], aux
+
+            mg, gg, aux = jax.vmap(one)(gs, ds, li_vec, p_vec, keys)
+
+            # per-layer Adam applied in layer order (each layer's own
+            # moments cover {mapping, g} exactly as in per-layer mode)
+            def body(m_params, xs):
+                mg_i, gg_i, g_params_i, opt_i = xs
+                gtree = _nan_to_num({'mapping': mg_i, 'g': gg_i})
+                params = {'mapping': m_params, 'g': g_params_i}
+                updates, opt_i = self.trainer.tx_local_g.update(
+                    gtree, opt_i, params)
+                new = optax.apply_updates(params, updates)
+                return new['mapping'], (new['g'], opt_i)
+
+            m_new, (gp_new, opt_new) = jax.lax.scan(
+                body, m_vars['params'], (mg, gg, gs['params'], ops))
+            new_ms = self._seq_moving_stats(m_vars['moving_stats'],
+                                            aux['moving_stats'], k)
+            m_out = {**m_vars, 'params': m_new, 'moving_stats': new_ms}
+            g_out = tuple(
+                {**{c: jax.tree_util.tree_map(lambda x, j=j: x[j], gs[c])
+                    for c in gs if c != 'params'},
+                 'params': jax.tree_util.tree_map(lambda x, j=j: x[j],
+                                                  gp_new)}
+                for j in range(k))
+            return m_out, g_out, self._unstack_tree(opt_new, k), aux['stats']
+
+        self._fns[key] = fn
+        return fn
+
+    def _bucket_greg_fn(self, rep: int, k: int, batch: int):
+        key = ('bgreg', rep, k, batch)
+        if key in self._fns:
+            return self._fns[key]
+        ens, hyper = self.ens, self.hyper
+        from .train_step import accum_value_and_grad
+        rounds = hyper.bucket_accum_rounds
+        g_gain = float(hyper.g_reg_interval or 1)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def fn(m_vars, g_tuple, opt_tuple, pl_mean, li_vec, rng):
+            gs = self._stack_trees(g_tuple)
+            ops = self._stack_trees(opt_tuple)
+            keys = jax.vmap(lambda i: _phase_key(rng, i, 1))(li_vec)
+            pl_vec = pl_mean[li_vec]
+
+            def one(g_vars_i, li, pl_i, key_i):
+                z = jax.random.normal(jax.random.fold_in(key_i, 0),
+                                      (batch, ens.cfg.z_dim))
+
+                def loss(params_t, data_t, rng_mb):
+                    m_params, g_params = params_t
+                    (z_mb,) = data_t
+                    diff = {'mapping': {**m_vars, 'params': m_params},
+                            'g': {**g_vars_i, 'params': g_params}}
+                    l, aux = losses.local_gpl_loss(
+                        diff, ens, rep, z_mb, rng_mb, pl_i,
+                        hyper.pl_batch_shrink, hyper.pl_decay,
+                        hyper.pl_weight, hyper.style_mixing_prob,
+                        layer_idx=li)
+                    return l * g_gain, aux
+
+                (_, aux), grads = accum_value_and_grad(
+                    loss, (m_vars['params'], g_vars_i['params']), (z,),
+                    jax.random.fold_in(key_i, 1), rounds)
+                return grads[0], grads[1], aux
+
+            mg, gg, aux = jax.vmap(one)(gs, li_vec, pl_vec, keys)
+
+            def body(m_params, xs):
+                mg_i, gg_i, g_params_i, opt_i = xs
+                gtree = _nan_to_num({'mapping': mg_i, 'g': gg_i})
+                params = {'mapping': m_params, 'g': g_params_i}
+                updates, opt_i = self.trainer.tx_local_g.update(
+                    gtree, opt_i, params)
+                new = optax.apply_updates(params, updates)
+                return new['mapping'], (new['g'], opt_i)
+
+            m_new, (gp_new, opt_new) = jax.lax.scan(
+                body, m_vars['params'], (mg, gg, gs['params'], ops))
+            new_ms = self._seq_moving_stats(m_vars['moving_stats'],
+                                            aux['moving_stats'], k)
+            m_out = {**m_vars, 'params': m_new, 'moving_stats': new_ms}
+            g_out = tuple(
+                {**{c: jax.tree_util.tree_map(lambda x, j=j: x[j], gs[c])
+                    for c in gs if c != 'params'},
+                 'params': jax.tree_util.tree_map(lambda x, j=j: x[j],
+                                                  gp_new)}
+                for j in range(k))
+            pl_out = pl_mean.at[li_vec].set(aux['pl_mean'])
+            return (m_out, g_out, self._unstack_tree(opt_new, k), pl_out,
+                    aux['stats'])
+
+        self._fns[key] = fn
+        return fn
+
+    def _bucket_dmain_fn(self, rep: int, k: int, batch: int):
+        key = ('bdmain', rep, k, batch)
+        if key in self._fns:
+            return self._fns[key]
+        ens, hyper = self.ens, self.hyper
+        from .train_step import accum_value_and_grad
+        rounds = hyper.bucket_accum_rounds
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 4, 5))
+        def fn(m_vars, d_tuple, opt_tuple, g_tuple, sign_sum, sign_count,
+               li_vec, reals_tuple, rng, aug_p):
+            gs = self._stack_trees(g_tuple)
+            ds = self._stack_trees(d_tuple)
+            ods = self._stack_trees(opt_tuple)
+            reals = jnp.stack(reals_tuple)
+            keys = jax.vmap(lambda i: _phase_key(rng, i, 2))(li_vec)
+            p_vec = aug_p[li_vec]
+
+            def one(g_vars_i, d_vars_i, opt_i, li, p_i, key_i, real_i):
+                z = jax.random.normal(jax.random.fold_in(key_i, 0),
+                                      (batch, ens.cfg.z_dim))
+
+                def loss(params_t, data_t, rng_mb):
+                    (d_params,) = params_t
+                    z_mb, real_mb = data_t
+                    dv = {**d_vars_i, 'params': d_params}
+                    frozen = {'mapping': m_vars, 'g': g_vars_i}
+                    return losses.local_dmain_loss(
+                        dv, ens, rep, frozen, z_mb, real_mb, rng_mb,
+                        self.trainer._local_aug, p_i,
+                        hyper.style_mixing_prob, layer_idx=li)
+
+                (_, aux), grads = accum_value_and_grad(
+                    loss, (d_vars_i['params'],), (z, real_i),
+                    jax.random.fold_in(key_i, 1), rounds)
+                gd = _nan_to_num(grads[0])
+                updates, opt_i = self.trainer.tx_local_d.update(
+                    gd, opt_i, d_vars_i['params'])
+                d_new = optax.apply_updates(d_vars_i['params'], updates)
+                return d_new, opt_i, aux
+
+            dp_new, opt_new, aux = jax.vmap(one)(gs, ds, ods, li_vec, p_vec,
+                                                 keys, reals)
+            new_ms = self._seq_moving_stats(m_vars['moving_stats'],
+                                            aux['moving_stats'], k)
+            m_out = {**m_vars, 'moving_stats': new_ms}
+            d_out = tuple(
+                {**{c: jax.tree_util.tree_map(lambda x, j=j: x[j], ds[c])
+                    for c in ds if c != 'params'},
+                 'params': jax.tree_util.tree_map(lambda x, j=j: x[j],
+                                                  dp_new)}
+                for j in range(k))
+            sign_sum = sign_sum.at[li_vec].add(aux['sign_real'])
+            sign_count = sign_count.at[li_vec].add(1.0)
+            return (m_out, d_out, self._unstack_tree(opt_new, k), sign_sum,
+                    sign_count, aux['stats'])
+
+        self._fns[key] = fn
+        return fn
+
+    def _bucket_dr1_fn(self, rep: int, k: int, batch: int):
+        key = ('bdr1', rep, k, batch)
+        if key in self._fns:
+            return self._fns[key]
+        ens, hyper = self.ens, self.hyper
+        from .train_step import accum_value_and_grad
+        rounds = hyper.bucket_accum_rounds
+        d_gain = float(hyper.d_reg_interval or 1)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def fn(d_tuple, opt_tuple, sign_sum, sign_count, li_vec,
+               reals_tuple, rng, aug_p):
+            ds = self._stack_trees(d_tuple)
+            ods = self._stack_trees(opt_tuple)
+            reals = jnp.stack(reals_tuple)
+            keys = jax.vmap(lambda i: _phase_key(rng, i, 3))(li_vec)
+            p_vec = aug_p[li_vec]
+
+            def one(d_vars_i, opt_i, p_i, key_i, real_i):
+                def loss(params_t, data_t, rng_mb):
+                    (d_params,) = params_t
+                    (real_mb,) = data_t
+                    dv = {**d_vars_i, 'params': d_params}
+                    l, aux = losses.local_dr1_loss(
+                        dv, ens, rep, real_mb, rng_mb,
+                        self.trainer._local_aug, p_i, hyper.r1_gamma)
+                    return l * d_gain, aux
+
+                (_, aux), grads = accum_value_and_grad(
+                    loss, (d_vars_i['params'],), (real_i,),
+                    jax.random.fold_in(key_i, 1), rounds)
+                gd = _nan_to_num(grads[0])
+                updates, opt_i = self.trainer.tx_local_d.update(
+                    gd, opt_i, d_vars_i['params'])
+                d_new = optax.apply_updates(d_vars_i['params'], updates)
+                return d_new, opt_i, aux
+
+            dp_new, opt_new, aux = jax.vmap(one)(ds, ods, p_vec, keys, reals)
+            d_out = tuple(
+                {**{c: jax.tree_util.tree_map(lambda x, j=j: x[j], ds[c])
+                    for c in ds if c != 'params'},
+                 'params': jax.tree_util.tree_map(lambda x, j=j: x[j],
+                                                  dp_new)}
+                for j in range(k))
+            sign_sum = sign_sum.at[li_vec].add(aux['sign_real'])
+            sign_count = sign_count.at[li_vec].add(1.0)
+            return (d_out, self._unstack_tree(opt_new, k), sign_sum,
+                    sign_count, aux['stats'])
+
+        self._fns[key] = fn
+        return fn
+
+    def _run_bucket(self, rep, idxs, do_greg, do_dreg, mapping, local_g,
+                    opt_g, local_d, opt_d, pl_mean, sign_sum, sign_count,
+                    crops, rng, aug_p):
+        """Dispatch one geometry bucket's local phases as 2-4 vmapped
+        programs (kind-major within the bucket: all Gmain, [all Greg], all
+        Dmain, [all Dreg]).  Mutates the local_g/opt lists in place at the
+        bucket's indices; returns stacked per-layer stats (leaves [k])."""
+        k = len(idxs)
+        li_vec = jnp.asarray(idxs, jnp.int32)
+        batch = crops[idxs[0]].shape[0]
+        g_t = tuple(local_g[i] for i in idxs)
+        og_t = tuple(opt_g[i] for i in idxs)
+        d_t = tuple(local_d[i] for i in idxs)
+        od_t = tuple(opt_d[i] for i in idxs)
+        reals_t = tuple(crops[i] for i in idxs)
+        stats: Dict[str, Any] = {}
+
+        mapping, g_t, og_t, st = self._bucket_gmain_fn(rep, k, batch)(
+            mapping, g_t, og_t, d_t, li_vec, rng, aug_p)
+        _merge_stats(stats, st)
+        if do_greg:
+            mapping, g_t, og_t, pl_mean, st = self._bucket_greg_fn(
+                rep, k, batch)(mapping, g_t, og_t, pl_mean, li_vec, rng)
+            _merge_stats(stats, st)
+        mapping, d_t, od_t, sign_sum, sign_count, st = self._bucket_dmain_fn(
+            rep, k, batch)(mapping, d_t, od_t, g_t, sign_sum, sign_count,
+                           li_vec, reals_t, rng, aug_p)
+        _merge_stats(stats, st)
+        if do_dreg:
+            d_t, od_t, sign_sum, sign_count, st = self._bucket_dr1_fn(
+                rep, k, batch)(d_t, od_t, sign_sum, sign_count, li_vec,
+                               reals_t, rng, aug_p)
+            _merge_stats(stats, st)
+        for j, i in enumerate(idxs):
+            local_g[i], opt_g[i] = g_t[j], og_t[j]
+            local_d[i], opt_d[i] = d_t[j], od_t[j]
+        return mapping, pl_mean, sign_sum, sign_count, stats
+
+    # ------------------------------------------------------------------
     # Merged per-layer / all-layers programs (legacy fused variants; the
     # 'all' mode and the probing tools use these)
     # ------------------------------------------------------------------
@@ -471,6 +806,25 @@ class PhaseExecutor:
                     on_phase(phase_name, dt)
                 return out
 
+        goi = hyper.global_optimize_interval
+        do_global = (hyper.train_global and ens.stn is not None
+                     and step_idx % goi == 0)
+        do_gdreg = (do_global and hyper.d_reg_interval is not None
+                    and hyper.global_r1_gamma != 0
+                    and step_idx % (hyper.d_reg_interval * goi) == 0)
+        do_renderer = hyper.train_renderer and self.trainer._use_renderer
+        tail = self._tail_fn()
+        import numpy as _np
+
+        # Renderer phase FIRST — the reference's phase list leads with it
+        # (custom/training_loop_aio.py:445-446), so its self-supervision
+        # target uses the PREVIOUS step's generators, not this step's
+        # locals-updated ones (matches the monolithic step's order).
+        if do_renderer:
+            state, t_stats = timed('Renderer', tail, state, stack, crops,
+                                   rng, _np.int32(9996), do_renderer=True)
+            stats.update(t_stats)
+
         variables = dict(state.variables)
         local_g = list(variables['local_g'])
         local_d = list(variables['local_d'])
@@ -499,6 +853,36 @@ class PhaseExecutor:
                 local_g, opt_g = list(g_t), list(og_t)
                 local_d, opt_d = list(d_t), list(od_t)
                 stats.update(st)
+            elif self.merge_locals == 'bucket':
+                for rep, idxs in self._buckets:
+                    if len(idxs) == 1:
+                        # singleton bucket: the split per-layer programs ARE
+                        # the exact bucket semantics — reuse them
+                        i = idxs[0]
+                        name = ens.cfg.layer_names[i]
+                        (mapping, local_g[i], opt_g[i], local_d[i],
+                         opt_d[i], pl_mean, sign_sum, sign_count,
+                         st) = timed(
+                            f'local_{name}',
+                            self._run_layer_split, rep, do_greg, do_dreg,
+                            mapping, local_g[i], opt_g[i], local_d[i],
+                            opt_d[i], pl_mean, sign_sum, sign_count,
+                            jnp.asarray(i, jnp.int32), crops[i], rng,
+                            state.aug_p)
+                        stats.update({f'{name}/{s}': v
+                                      for s, v in st.items()})
+                        continue
+                    names = [ens.cfg.layer_names[i] for i in idxs]
+                    group = '+'.join(f'local_{n}' for n in names)
+                    (mapping, pl_mean, sign_sum, sign_count, st) = timed(
+                        group, self._run_bucket, rep, idxs, do_greg,
+                        do_dreg, mapping, local_g, opt_g, local_d, opt_d,
+                        pl_mean, sign_sum, sign_count, crops, rng,
+                        state.aug_p)
+                    for j, i in enumerate(idxs):
+                        stats.update(
+                            {f'{ens.cfg.layer_names[i]}/{s}': v[j]
+                             for s, v in st.items()})
             else:
                 for i in range(ens.cfg.num_layers):
                     rep = self._geom_of_layer[i]
@@ -524,36 +908,33 @@ class PhaseExecutor:
                                   pl_mean=pl_mean, ada_sign_sum=sign_sum,
                                   ada_sign_count=sign_count)
 
-        goi = hyper.global_optimize_interval
-        do_global = (hyper.train_global and ens.stn is not None
-                     and step_idx % goi == 0)
-        do_gdreg = (do_global and hyper.d_reg_interval is not None
-                    and hyper.global_r1_gamma != 0
-                    and step_idx % (hyper.d_reg_interval * goi) == 0)
-        do_renderer = hyper.train_renderer and self.trainer._use_renderer
-
-        tail = self._tail_fn()
+        # The EMA/ADA update is fused into the LAST tail program dispatched
+        # this step (its math — EMA lerp over mapping/local_g/stn + the ADA
+        # controller — is sequential-after anyway, so one program tracing
+        # "<phase>; ema_ada" is numerically identical to two programs;
+        # pinned by tests/test_phase_exec.py).  A standalone ema_ada
+        # dispatch costs a full-state marshal over remote device transports
+        # for ~no compute — measured 45–300+ ms (docs/PERF.md "ema_ada").
         st = mid_state
-        import numpy as _np
-        if do_renderer:
-            st, t_stats = timed('Renderer', tail, st, stack, crops,
-                                rng, _np.int32(9996), do_renderer=True)
-            stats.update(t_stats)
+        tail_plan = []
         if do_global:
-            st, t_stats = timed('global_Gmain', tail, st, stack, crops,
-                                rng, _np.int32(9997), do_global_g=True)
-            stats.update(t_stats)
-            st, t_stats = timed('global_Dmain', tail, st, stack, crops,
-                                rng, _np.int32(9998),
-                                do_global_d=True, do_dreg=False)
-            stats.update(t_stats)
+            tail_plan.append(('global_Gmain', _np.int32(9997),
+                              dict(do_global_g=True)))
+            tail_plan.append(('global_Dmain', _np.int32(9998),
+                              dict(do_global_d=True, do_dreg=False)))
         if do_gdreg:
-            st, t_stats = timed('global_Dreg', tail, st, stack, crops,
-                                rng, _np.int32(9999),
-                                do_global_d=True, do_global_dmain=False,
-                                do_dreg=True)
+            tail_plan.append(('global_Dreg', _np.int32(9999),
+                              dict(do_global_d=True, do_global_dmain=False,
+                                   do_dreg=True)))
+        if tail_plan:
+            name, salt, gates = tail_plan[-1]
+            tail_plan[-1] = (name + '+ema_ada', salt,
+                             dict(gates, do_ema_ada=True))
+        else:
+            tail_plan.append(('ema_ada', _np.int32(10000),
+                              dict(do_ema_ada=True)))
+        for name, salt, gates in tail_plan:
+            st, t_stats = timed(name, tail, st, stack, crops, rng, salt,
+                                **gates)
             stats.update(t_stats)
-        new_state, t_stats = timed('ema_ada', tail, st, stack, crops,
-                                   rng, _np.int32(10000), do_ema_ada=True)
-        stats.update(t_stats)
-        return new_state, stats
+        return st, stats

@@ -80,6 +80,13 @@ class TrainHyper:
     # HBM high-water mark (global_Gmain needs ~10G of temps at batch 32 on a
     # 16G chip next to the ~7.5G resident state).  None = follow `microbatch`.
     global_microbatch: Optional[int] = None
+    # Microbatch inside a geometry BUCKET program (PhaseExecutor
+    # merge_locals='bucket': k same-geometry layers vmapped in one program,
+    # so one accumulation round holds k × bucket_microbatch images).  None =
+    # follow `microbatch` (same per-layer working set × k — only safe for
+    # small buckets); production sets it so k × bucket_microbatch ≈
+    # batch_size (one full batch of images in flight per dispatch).
+    bucket_microbatch: Optional[int] = None
 
     @property
     def accum_rounds(self) -> int:
@@ -87,6 +94,14 @@ class TrainHyper:
             return 1
         assert self.batch_size % self.microbatch == 0
         return self.batch_size // self.microbatch
+
+    @property
+    def bucket_accum_rounds(self) -> int:
+        mb = self.bucket_microbatch
+        if mb is None:
+            return self.accum_rounds
+        assert self.batch_size % mb == 0
+        return self.batch_size // mb
 
     @property
     def global_accum_rounds(self) -> int:

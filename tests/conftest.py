@@ -77,6 +77,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: heavy-compile / e2e tests excluded from the quick "
                    "tier (full suite documents its wall time in README)")
+    config.addinivalue_line(
+        "markers", "mid: medium tier — `pytest -m 'quick or mid'` covers the "
+                   "train-step semantics invariants (accumulation linearity, "
+                   "w_avg sequencing, executor-vs-monolithic equality) at "
+                   "micro configs inside a CI budget (<8 min)")
 
 
 def pytest_collection_modifyitems(config, items):

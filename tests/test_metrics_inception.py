@@ -232,11 +232,14 @@ def test_check_weights_cli(tmp_path, monkeypatch):
     runner = CliRunner()
     monkeypatch.delenv('MGT_INCEPTION_WEIGHTS', raising=False)
     monkeypatch.delenv('MGT_VGG16_WEIGHTS', raising=False)
+    monkeypatch.setenv('MGT_WEIGHTS_DIR', str(tmp_path / 'dropin'))
     res = runner.invoke(check_weights, [])
     assert res.exit_code == 1
     assert 'convert_inception' in res.output
     assert 'convert_vgg16' in res.output
     assert 'RELATIVE' in res.output
+    # the doctor prints the drop-in path (one-file handoff)
+    assert str(tmp_path / 'dropin') in res.output
 
     inc = str(tmp_path / 'inception.npz')
     inception_net.save_params(inception_net.init_random(0), inc)
@@ -248,3 +251,54 @@ def test_check_weights_cli(tmp_path, monkeypatch):
     res = runner.invoke(check_weights, [])
     assert res.exit_code == 0, res.output
     assert 'ABSOLUTE' in res.output
+
+
+def test_check_weights_dropin_sha256_gate(tmp_path, monkeypatch):
+    """The offline drop-in handoff (VERDICT r3 #9): a torch source dropped
+    into MGT_WEIGHTS_DIR is sha256-verified against its filename-embedded
+    digest (torch-hub convention); a corrupted file is flagged and NOT
+    converted; a verified one converts with --convert and the resulting
+    .npz is picked up with no env vars set."""
+    import hashlib
+
+    import torch
+    from click.testing import CliRunner
+
+    from montage_gan_tpu.cli.check_weights import main as check_weights
+    from montage_gan_tpu.metrics.features import (InceptionV3Features,
+                                                  resolve_weights)
+
+    dropin = tmp_path / 'dropin'
+    dropin.mkdir()
+    monkeypatch.delenv('MGT_INCEPTION_WEIGHTS', raising=False)
+    monkeypatch.delenv('MGT_VGG16_WEIGHTS', raising=False)
+    monkeypatch.setenv('MGT_WEIGHTS_DIR', str(dropin))
+    runner = CliRunner()
+
+    # a source whose filename digest does NOT match its content → CORRUPT,
+    # never converted
+    bad = dropin / 'pt_inception-2015-12-05-6726825d.pth'
+    bad.write_bytes(b'not the official checkpoint')
+    res = runner.invoke(check_weights, ['--convert'])
+    assert res.exit_code == 1
+    assert 'MISMATCH' in res.output
+    assert not (dropin / 'inception.npz').exists()
+    bad.unlink()
+
+    # a source correctly named by its own sha256 prefix → verified, and
+    # --convert produces a loadable npz that resolves with no env var
+    sd = make_random_state_dict(seed=3)
+    tmp_src = dropin / 'staging.bin'
+    torch.save(sd, str(tmp_src))
+    digest = hashlib.sha256(tmp_src.read_bytes()).hexdigest()[:8]
+    src = dropin / f'pt_inception-2015-12-05-{digest}.pth'
+    tmp_src.rename(src)
+    res = runner.invoke(check_weights, ['--convert'])
+    assert 'VERIFIED' in res.output, res.output
+    assert (dropin / 'inception.npz').exists()
+    assert resolve_weights('MGT_INCEPTION_WEIGHTS',
+                           'inception.npz') == str(dropin / 'inception.npz')
+    ext = InceptionV3Features()
+    assert ext.weights_path == str(dropin / 'inception.npz')
+    # inception is now available; only vgg16 still missing
+    assert res.exit_code == 1 and 'vgg16' in res.output

@@ -27,7 +27,9 @@ def setup_exec():
     hyper = TrainHyper(batch_size=BATCH, augment=None, ada_target=None,
                        g_reg_interval=2, d_reg_interval=2)
     trainer = MontageTrainer(ens, hyper)
-    return ens, trainer, PhaseExecutor(trainer)
+    # per_layer: these tests pin the exact reference phase order; the
+    # default 'bucket' mode is pinned against it in test_bucket_exec.py
+    return ens, trainer, PhaseExecutor(trainer, merge_locals='per_layer')
 
 
 def test_phase_executor_trains():
