@@ -339,16 +339,19 @@ def main():
                        # per-program temps so back-to-back programs overlap
                        # safely; the global/renderer phases backprop through
                        # all 9 local Gs at once and need rounds of 8.
-                       microbatch=16,
-                       global_microbatch=8,
+                       microbatch=int(os.environ.get('MGT_BENCH_MB', '16')),
+                       global_microbatch=int(
+                           os.environ.get('MGT_BENCH_GLOBAL_MB', '8')),
                        # bucket mode vmaps the four 256² layers in one
-                       # program; 4 × 8 = 32 images per accumulation round
-                       # keeps the per-dispatch working set at one
-                       # full-batch phase's (known to fit next to the
-                       # resident state under async dispatch)
-                       bucket_microbatch=8)
+                       # program; 4 × 4 = 16 images per accumulation round
+                       # matches the per-layer mode's mb16 working set
+                       # (4 × 8 = 32 images/round OOM'd the 16G part next
+                       # to the ~7.5G resident state + loaded programs)
+                       bucket_microbatch=int(
+                           os.environ.get('MGT_BENCH_BUCKET_MB', '4')))
     trainer = MontageTrainer(ens, hyper)
-    executor = PhaseExecutor(trainer)
+    executor = PhaseExecutor(trainer, merge_locals=os.environ.get(
+        'MGT_BENCH_MERGE_LOCALS', 'per_layer'))
 
     # On-device init: ONE jitted program builds the whole train state on the
     # chip (params, EMA copies, Adam zeros).  Compiles once (cached); costs
@@ -365,6 +368,24 @@ def main():
     crops = tuple(jnp.asarray(c) for c in make_batch_for_local_d_np(
         stack01, [list(t) for t in cfg.layer_targets], to_minus11=True))
     stack = jnp.asarray(stack01 * 2.0 - 1.0)
+
+    # AOT-precompile the full program set with the backend compilations
+    # running CONCURRENTLY (the remote-compile relay overlaps requests;
+    # measured serial compile-on-first-dispatch is the dominant cold-start
+    # cost).  Dispatch then routes through the AOT executables directly —
+    # the jit path would not reuse them (phase_exec.PhaseExecutor._dispatch).
+    if os.environ.get('MGT_BENCH_PRECOMPILE', '1') != '0':
+        t_pre = time.time()
+        try:
+            n_pre = executor.precompile(
+                state0, stack, crops,
+                max_workers=int(os.environ.get('MGT_PRECOMPILE_WORKERS',
+                                               '6')),
+                log=_log)
+            _log(f"precompile: {n_pre} programs ready in "
+                 f"{time.time() - t_pre:.0f}s")
+        except Exception as e:  # degrade to compile-on-first-dispatch
+            _log(f"precompile failed (non-fatal): {str(e)[:200]}")
 
     # NOTE on synchronization: jax.block_until_ready can return EARLY over
     # the tunneled PJRT transport (observed in round 1 — it made the bench

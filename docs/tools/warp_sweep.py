@@ -143,6 +143,7 @@ def main():
 
     knobs = [
         ('precision', [lax.Precision.HIGH]),
+        ('weight_precision', [lax.Precision.DEFAULT]),
         ('chunk', [128, 32]),
         (('tile', 'block'), [(64, 128), (48, 96), (16, 48)]),
         ('chunk_t', [8, 24, 32]),

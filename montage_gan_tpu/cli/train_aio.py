@@ -111,13 +111,18 @@ def next_run_dir(outdir: str, desc: str) -> str:
 @click.option('--global-batch-gpu', type=int, default=None,
               help='Microbatch for the global/renderer phases (HBM '
                    'high-water mark); defaults to --batch-gpu')
-@click.option('--merge-locals', type=click.Choice(['bucket', 'per_layer', 'all']),
-              default='bucket',
-              help='Local-phase program granularity: same-geometry layers '
-                   'vmapped per bucket (default; fastest), one program per '
-                   'layer geometry dispatched per layer (exact reference '
-                   'phase order), or ALL layers in one program (fewest '
-                   'dispatches; long first compile, needs >16G HBM)')
+@click.option('--merge-locals', type=click.Choice(['per_layer', 'bucket', 'all']),
+              default='per_layer',
+              help='Local-phase program granularity: one program per phase '
+                   'kind per layer geometry, dispatched per layer (default; '
+                   'exact reference phase order, fastest measured), '
+                   'same-geometry layers vmapped per bucket (measured '
+                   'slower on v5e — docs/PERF.md), or ALL layers in one '
+                   'program (fewest dispatches; needs >16G HBM)')
+@click.option('--precompile/--no-precompile', default=True,
+              help='AOT-compile every phase program before the first step '
+                   'with concurrent backend compilations (cold-start '
+                   'lever; default on)')
 @click.option('--trace', 'trace_dir', default=None, metavar='DIR',
               help='Write a profiler trace of a few post-warmup steps')
 @click.option('--save-all-layers', is_flag=True, default=False)
@@ -225,6 +230,7 @@ def main(**kwargs):
             random_seed=opts.seed, resume_path=resume_path,
             num_devices=opts.num_devices,
             merge_locals=opts.merge_locals,
+            precompile=opts.precompile,
             metrics=metrics, run_once=opts.run_once,
             save_all_layers=opts.save_all_layers,
             run_latent_interpolation=opts.run_latent_interpolation,

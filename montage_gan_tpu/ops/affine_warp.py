@@ -160,6 +160,7 @@ class _Spec(NamedTuple):
     up: int           # virtual upsample factor (1 = plain bilinear)
     taps: Optional[Tuple[float, ...]]   # FIR taps of the fused upsample
     precision: lax.Precision
+    wprec: lax.Precision  # precision of the weight-build einsum (H @ T)
 
     @property
     def hv(self) -> int:          # virtual (upsampled) input extent
@@ -247,10 +248,12 @@ def _weights(spec: _Spec, sp, l0, B: int, axis_virtual_len: int) -> jax.Array:
                 & (m_abs < float(axis_virtual_len))).astype(jnp.float32)
     h = _hat(v[..., :, None] - m_abs[..., None, :]) \
         * in_plane[..., None, :]                              # [..., P, Mv]
-    # Weight fidelity needs ~f32: fixed HIGH here regardless of the image
-    # contraction's (sweepable) precision — the matmul is small.
-    return jnp.einsum('...pm,mb->...pb', h, t_mat,
-                      precision=lax.Precision.HIGH)
+    # Weight fidelity wants ~f32 (HIGH, the default); DEFAULT (single-pass
+    # bf16) costs ~0.4% relative weight error — noise-level against ADA's
+    # own corruptions (σ=0.1 noise stage) and sweepable per geometry
+    # ('weight_precision' in WARP_TUNE) where the transpose's [Q, Mv]
+    # weight build dominates.
+    return jnp.einsum('...pm,mb->...pb', h, t_mat, precision=spec.wprec)
 
 
 def _support(spec: _Spec) -> Tuple[float, float]:
@@ -689,7 +692,9 @@ def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
                 tile_t: Optional[int] = None, block_t: Optional[int] = None,
                 chunk: int = 64, chunk_t: int = 16,
                 up: int = 1, up_filter=None,
-                precision: lax.Precision = lax.Precision.HIGH) -> jax.Array:
+                precision: lax.Precision = lax.Precision.HIGH,
+                weight_precision: lax.Precision = lax.Precision.HIGH
+                ) -> jax.Array:
     """Bilinear-sample NHWC ``x`` (optionally through a virtual ``up``×
     FIR upsample) on the affine grid of ``theta``.
 
@@ -707,9 +712,12 @@ def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
         up, up_filter: when ``up > 1``, the result equals
             ``affine_warp(upsample2d(x, up_filter, up), theta, ...)``
             exactly, computed at 1× resolution (see module docstring).
-        precision: matmul precision for the weight contractions.  ``HIGH``
+        precision: matmul precision for the image contractions.  ``HIGH``
             (3-pass bf16) keeps ~fp32 accuracy; use ``HIGHEST`` for
             bit-parity tests against the gather reference.
+        weight_precision: precision of the weight-build matmul (H @ T,
+            see ``_weights``) — ``HIGH`` default; ``DEFAULT`` trades
+            ~0.4% relative weight error for a single-pass matmul.
     Returns:
         ``[N, out_h, out_w, C]``, exactly ``grid_sample(x_up,
         affine_grid(...))`` within the coverage contract.
@@ -727,7 +735,7 @@ def affine_warp(x: jax.Array, theta: jax.Array, out_h: int, out_w: int,
             'with up=1 would be silently ignored)'
     spec = _Spec(n, h, w, c, out_h, out_w, tile, block,
                  tile_t or tile, block_t or block, chunk, chunk_t,
-                 up, taps, precision)
+                 up, taps, precision, weight_precision)
     if min(spec.block, h) >= h and min(spec.block, w) >= w:
         # Tiny canvas: one full-input window, no slicing machinery.
         return _warp_full(spec, x, theta)

@@ -151,7 +151,9 @@ def training_loop(
         progress_fn: Optional[Callable[[int, int], None]] = None,
         run_once: bool = False,
         use_phase_executor: bool = True,
-        merge_locals: str = 'bucket',
+        merge_locals: str = 'per_layer',
+        precompile: bool = True,
+        precompile_workers: int = 6,
         save_all_layers: bool = False,
         run_latent_interpolation: bool = False,
         trace_dir: Optional[str] = None,
@@ -206,6 +208,23 @@ def training_loop(
         def step_fn(s, a, b, r, time_phases=False):
             if host_step[0] is None:
                 host_step[0] = int(s.step)
+                if precompile:
+                    # AOT-compile the full program set with the backend
+                    # compilations running concurrently (the serial
+                    # compile-on-first-dispatch walk is the dominant
+                    # startup cost — docs/PERF.md "cold start").  Shapes/
+                    # shardings are taken from this first real batch, so
+                    # the artifacts are exactly the ones dispatch uses.
+                    t_pre = time.time()
+                    try:
+                        n = executor.precompile(
+                            s, a, b, max_workers=precompile_workers,
+                            log=print if primary else None)
+                        print(f'Precompiled {n} phase programs in '
+                              f'{time.time() - t_pre:.0f}s')
+                    except Exception as e:  # pragma: no cover - defensive
+                        print(f'precompile failed (continuing with '
+                              f'on-demand compiles): {str(e)[:200]}')
             out = executor.step(s, a, b, r, time_phases=time_phases,
                                 step_idx=host_step[0])
             host_step[0] += 1

@@ -85,32 +85,41 @@ def _phase_key(rng, layer_idx, j):
 
 class PhaseExecutor:
     def __init__(self, trainer: MontageTrainer,
-                 merge_locals: str = 'bucket'):
+                 merge_locals: str = 'per_layer'):
         """``merge_locals``:
 
-        * 'bucket' (default) — same-geometry layers run VMAPPED over
-          stacked per-layer params, one program per phase kind per
-          geometry bucket (SURVEY §7.1 "vectorize the layer axis"): the
-          production 9-layer config's four 256² layers become ONE
-          Gmain/Dmain/… dispatch at 4× effective batch instead of four
-          low-utilization dispatches.  Within a bucket the G-phase
+        * 'per_layer' (default) — one program per phase kind × layer
+          geometry, dispatched per layer in the reference's exact order
+          (bit-exact reference phase semantics; ~22 async dispatches/step,
+          measured enqueue cost ≈ 0.1 s against a multi-second step).
+        * 'bucket' — same-geometry layers run VMAPPED over stacked
+          per-layer params, one program per phase kind per geometry
+          bucket (SURVEY §7.1's "vectorize the layer axis" design —
+          BUILT AND MEASURED SLOWER on v5e, kept as the reference
+          implementation of that experiment: the four-layer 256² bucket
+          measures 2.90 s vs 1.66 s for the same four layers dispatched
+          per-layer, 5.81 vs 4.81 s/step end-to-end, BENCH r4.  The vmap
+          turns the per-layer convs into grouped convs and the warp's
+          window slices into batched gathers, losing more MXU efficiency
+          than the saved dispatches are worth; at bucket_microbatch
+          matching the per-layer working set the program OOMs a 16G part
+          next to the resident state.)  Within a bucket the G-phase
           gradients are computed at the bucket-entry mapping parameters
-          (the reference updates the shared mapping between consecutive
-          layers' phases — an in-step staleness of order lr·lr_mult ≈
-          2.5e-5 on the mapping, pinned within tolerance by
-          tests/test_bucket_exec.py; singleton buckets are EXACTLY the
-          per-layer programs).  Per-layer Adam moments, RNG streams, and
-          the w_avg EMA sequence are preserved exactly (the sequential
-          EMA is applied in closed form from the vmapped batch means).
-        * 'per_layer' — one program per phase kind × layer geometry,
-          dispatched per layer in the reference's exact order (bit-exact
-          reference phase semantics; ~22 dispatches/step).
+          (staleness of order lr·lr_mult ≈ 2.5e-5, pinned by
+          tests/test_bucket_exec.py); per-layer Adam moments, RNG
+          streams, and the sequential w_avg EMA are preserved exactly
+          (closed form — losses.seq_moving_stats).
         * 'all' — every layer's phases in ONE program per reg combo
           (fewest dispatches, largest compiles; needs >16G HBM at the
           production config).
         """
         assert merge_locals in ('per_layer', 'all', 'bucket')
         self.merge_locals = merge_locals
+        # AOT executables from precompile(), keyed (program_key, statics);
+        # dispatch prefers these (jit's dispatch cache does NOT reuse AOT
+        # artifacts, so routing around it avoids paying the compile/
+        # deserialize/program-load cost twice)
+        self._aot: Dict[Any, Any] = {}
         self.trainer = trainer
         self.ens = trainer.ens
         self.hyper = trainer.hyper
@@ -311,21 +320,25 @@ class PhaseExecutor:
         old fused per-layer program returned; stats merge host-side with
         the identical collision rule."""
         stats: Dict[str, Any] = {}
-        m_vars, g_vars, opt_g, st = self._gmain_fn(rep)(
-            m_vars, g_vars, opt_g, d_vars, layer_idx, real, rng, aug_p)
+        m_vars, g_vars, opt_g, st = self._dispatch(
+            ('gmain', rep), self._gmain_fn(rep),
+            (m_vars, g_vars, opt_g, d_vars, layer_idx, real, rng, aug_p))
         _merge_stats(stats, st)
         if do_greg:
-            m_vars, g_vars, opt_g, pl_mean, st = self._greg_fn(rep)(
-                m_vars, g_vars, opt_g, pl_mean, layer_idx, real, rng)
+            m_vars, g_vars, opt_g, pl_mean, st = self._dispatch(
+                ('greg', rep), self._greg_fn(rep),
+                (m_vars, g_vars, opt_g, pl_mean, layer_idx, real, rng))
             _merge_stats(stats, st)
-        m_vars, d_vars, opt_d, sign_sum, sign_count, st = self._dmain_fn(
-            rep)(m_vars, d_vars, opt_d, g_vars, sign_sum, sign_count,
-                 layer_idx, real, rng, aug_p)
+        m_vars, d_vars, opt_d, sign_sum, sign_count, st = self._dispatch(
+            ('dmain', rep), self._dmain_fn(rep),
+            (m_vars, d_vars, opt_d, g_vars, sign_sum, sign_count,
+             layer_idx, real, rng, aug_p))
         _merge_stats(stats, st)
         if do_dreg:
-            d_vars, opt_d, sign_sum, sign_count, st = self._dr1_fn(rep)(
-                d_vars, opt_d, sign_sum, sign_count, layer_idx, real, rng,
-                aug_p)
+            d_vars, opt_d, sign_sum, sign_count, st = self._dispatch(
+                ('dr1', rep), self._dr1_fn(rep),
+                (d_vars, opt_d, sign_sum, sign_count, layer_idx, real, rng,
+                 aug_p))
             _merge_stats(stats, st)
         return (m_vars, g_vars, opt_g, d_vars, opt_d, pl_mean, sign_sum,
                 sign_count, stats)
@@ -617,21 +630,27 @@ class PhaseExecutor:
         reals_t = tuple(crops[i] for i in idxs)
         stats: Dict[str, Any] = {}
 
-        mapping, g_t, og_t, st = self._bucket_gmain_fn(rep, k, batch)(
-            mapping, g_t, og_t, d_t, li_vec, rng, aug_p)
+        mapping, g_t, og_t, st = self._dispatch(
+            ('bgmain', rep, k, batch), self._bucket_gmain_fn(rep, k, batch),
+            (mapping, g_t, og_t, d_t, li_vec, rng, aug_p))
         _merge_stats(stats, st)
         if do_greg:
-            mapping, g_t, og_t, pl_mean, st = self._bucket_greg_fn(
-                rep, k, batch)(mapping, g_t, og_t, pl_mean, li_vec, rng)
+            mapping, g_t, og_t, pl_mean, st = self._dispatch(
+                ('bgreg', rep, k, batch),
+                self._bucket_greg_fn(rep, k, batch),
+                (mapping, g_t, og_t, pl_mean, li_vec, rng))
             _merge_stats(stats, st)
-        mapping, d_t, od_t, sign_sum, sign_count, st = self._bucket_dmain_fn(
-            rep, k, batch)(mapping, d_t, od_t, g_t, sign_sum, sign_count,
-                           li_vec, reals_t, rng, aug_p)
+        mapping, d_t, od_t, sign_sum, sign_count, st = self._dispatch(
+            ('bdmain', rep, k, batch),
+            self._bucket_dmain_fn(rep, k, batch),
+            (mapping, d_t, od_t, g_t, sign_sum, sign_count, li_vec,
+             reals_t, rng, aug_p))
         _merge_stats(stats, st)
         if do_dreg:
-            d_t, od_t, sign_sum, sign_count, st = self._bucket_dr1_fn(
-                rep, k, batch)(d_t, od_t, sign_sum, sign_count, li_vec,
-                               reals_t, rng, aug_p)
+            d_t, od_t, sign_sum, sign_count, st = self._dispatch(
+                ('bdr1', rep, k, batch), self._bucket_dr1_fn(rep, k, batch),
+                (d_t, od_t, sign_sum, sign_count, li_vec, reals_t, rng,
+                 aug_p))
             _merge_stats(stats, st)
         for j, i in enumerate(idxs):
             local_g[i], opt_g[i] = g_t[j], og_t[j]
@@ -753,6 +772,214 @@ class PhaseExecutor:
         return fn
 
     # ------------------------------------------------------------------
+    # Parallel ahead-of-time compilation (cold-start, VERDICT r3 #4)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _statics_key(statics):
+        return tuple(sorted(statics.items()))
+
+    def _dispatch(self, key, jitfn, args, statics=None):
+        """Run a phase program, preferring the AOT executable from
+        ``precompile`` when one exists for these statics (jit's dispatch
+        cache does not reuse AOT artifacts — going through the jit path
+        would compile/load the program a second time).  An argument-spec
+        mismatch (e.g. a caller with different batch shapes than the
+        precompiled ones) falls back to the jit path."""
+        statics = statics or {}
+        comp = self._aot.get((key, self._statics_key(statics)))
+        if comp is not None:
+            try:
+                return comp(*args)
+            except (TypeError, ValueError):
+                pass
+        return jitfn(*args, **statics)
+
+    def _tail_dispatch(self, *args, **gates):
+        return self._dispatch('tail', self._tail_fn(), args, gates)
+
+    def _program_plan(self, state: MontageTrainState, stack, crops, rng):
+        """Enumerate every (name, jitted_fn, args, kwargs) the production
+        step can dispatch, with the EXACT argument types/shapes ``step``
+        passes (so the AOT lowering's HLO — and therefore its persistent-
+        cache key — matches the later dispatch byte-for-byte).  Thanks to
+        the per-phase-kind program design there is one program per (kind,
+        geometry) regardless of the reg combo, plus the tail's static-gate
+        variants — the full steady-state set is ~15-20 programs."""
+        import numpy as _np
+        hyper, ens = self.hyper, self.ens
+
+        def spec(tree):
+            # preserve shardings so multi-device AOT programs compile for
+            # the exact input layout the real dispatch passes (a sharding
+            # mismatch at call time would fall back to the jit path and
+            # pay the compile twice)
+            def one(x):
+                sh = getattr(x, 'sharding', None)
+                if sh is not None and hasattr(x, 'shape'):
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                sharding=sh)
+                return jax.ShapeDtypeStruct(jnp.shape(x),
+                                            jnp.result_type(x))
+            return jax.tree_util.tree_map(one, tree)
+
+        variables = state.variables
+        mapping = spec(variables['mapping'])
+        local_g = [spec(v) for v in variables['local_g']]
+        local_d = [spec(v) for v in variables['local_d']]
+        opt_g = [spec(o) for o in state.opt_states.get('local_g', ())]
+        opt_d = [spec(o) for o in state.opt_states.get('local_d', ())]
+        pl_mean = spec(state.pl_mean)
+        sign_sum = spec(state.ada_sign_sum)
+        sign_count = spec(state.ada_sign_count)
+        aug_p = spec(state.aug_p)
+        crops_s = [spec(c) for c in crops]
+        plan = []
+
+        if hyper.train_local and opt_g and self.merge_locals != 'all':
+            use_bucket = self.merge_locals == 'bucket'
+            for rep, idxs in self._buckets:
+                if not use_bucket or len(idxs) == 1:
+                    # per-layer programs are shared per geometry rep: one
+                    # lowering covers every layer in the bucket
+                    i = idxs[0]
+                    li = jnp.asarray(i, jnp.int32)
+                    real = crops_s[i]
+                    name = f'{ens.cfg.layer_names[i]}'
+                    plan += [
+                        (f'gmain[{name}]', ('gmain', rep),
+                         self._gmain_fn(rep),
+                         (mapping, local_g[i], opt_g[i], local_d[i], li,
+                          real, rng, aug_p), {}),
+                        (f'greg[{name}]', ('greg', rep),
+                         self._greg_fn(rep),
+                         (mapping, local_g[i], opt_g[i], pl_mean, li, real,
+                          rng), {}),
+                        (f'dmain[{name}]', ('dmain', rep),
+                         self._dmain_fn(rep),
+                         (mapping, local_d[i], opt_d[i], local_g[i],
+                          sign_sum, sign_count, li, real, rng, aug_p), {}),
+                        (f'dr1[{name}]', ('dr1', rep),
+                         self._dr1_fn(rep),
+                         (local_d[i], opt_d[i], sign_sum, sign_count, li,
+                          real, rng, aug_p), {}),
+                    ]
+                else:
+                    k = len(idxs)
+                    li_vec = jnp.asarray(idxs, jnp.int32)
+                    batch = crops[idxs[0]].shape[0]
+                    g_t = tuple(local_g[i] for i in idxs)
+                    og_t = tuple(opt_g[i] for i in idxs)
+                    d_t = tuple(local_d[i] for i in idxs)
+                    od_t = tuple(opt_d[i] for i in idxs)
+                    reals_t = tuple(crops_s[i] for i in idxs)
+                    name = '+'.join(ens.cfg.layer_names[i] for i in idxs)
+                    plan += [
+                        (f'bgmain[{name}]', ('bgmain', rep, k, batch),
+                         self._bucket_gmain_fn(rep, k, batch),
+                         (mapping, g_t, og_t, d_t, li_vec, rng, aug_p), {}),
+                        (f'bgreg[{name}]', ('bgreg', rep, k, batch),
+                         self._bucket_greg_fn(rep, k, batch),
+                         (mapping, g_t, og_t, pl_mean, li_vec, rng), {}),
+                        (f'bdmain[{name}]', ('bdmain', rep, k, batch),
+                         self._bucket_dmain_fn(rep, k, batch),
+                         (mapping, d_t, od_t, g_t, sign_sum, sign_count,
+                          li_vec, reals_t, rng, aug_p), {}),
+                        (f'bdr1[{name}]', ('bdr1', rep, k, batch),
+                         self._bucket_dr1_fn(rep, k, batch),
+                         (d_t, od_t, sign_sum, sign_count, li_vec, reals_t,
+                          rng, aug_p), {}),
+                    ]
+
+        # tail programs: every static-gate variant the step can dispatch
+        tail = self._tail_fn()
+        st_spec = spec(state)
+        stack_s = spec(stack)
+        t_args = (st_spec, stack_s, tuple(crops_s), rng, _np.int32(0))
+        do_global = hyper.train_global and ens.stn is not None
+        do_gdreg = do_global and hyper.d_reg_interval is not None \
+            and hyper.global_r1_gamma != 0
+        if hyper.train_renderer and self.trainer._use_renderer:
+            plan.append(('Renderer', 'tail', tail, t_args,
+                         dict(do_renderer=True)))
+        if do_global:
+            plan.append(('global_Gmain', 'tail', tail, t_args,
+                         dict(do_global_g=True)))
+            plan.append(('global_Dmain+ema_ada', 'tail', tail, t_args,
+                         dict(do_global_d=True, do_dreg=False,
+                              do_ema_ada=True)))
+        if do_gdreg:
+            plan.append(('global_Dmain', 'tail', tail, t_args,
+                         dict(do_global_d=True, do_dreg=False)))
+            plan.append(('global_Dreg+ema_ada', 'tail', tail, t_args,
+                         dict(do_global_d=True, do_global_dmain=False,
+                              do_dreg=True, do_ema_ada=True)))
+        if not do_global or hyper.global_optimize_interval > 1:
+            # steps off the global interval end with a standalone ema_ada
+            plan.append(('ema_ada', 'tail', tail, t_args,
+                         dict(do_ema_ada=True)))
+        return plan
+
+    def precompile(self, state: MontageTrainState, stack, crops,
+                   max_workers: int = 6, log=None) -> int:
+        """Compile every production program ahead of the first step, with
+        the (slow, remote on tunneled-device setups) backend compilations
+        running CONCURRENTLY.
+
+        The first training step otherwise walks ~15-20 programs and
+        compiles each serially on first dispatch — minutes per program over
+        a remote-compile relay (measured cold first step: tens of minutes;
+        even warm-cache deserialization is serial).  Tracing/lowering is
+        Python-bound and runs serially here; ``lowered.compile()`` releases
+        the GIL inside the backend RPC, so a thread pool overlaps the
+        expensive part.  Compiled artifacts land in the persistent compile
+        cache (when enabled), which the subsequent real dispatches hit
+        instead of recompiling.
+
+        Args mirror ``step`` (state may be a concrete device state — only
+        its shapes/dtypes are read).  Returns the number of programs
+        compiled.  Safe to skip: any failure degrades to compile-on-first-
+        dispatch.  Reference anchor: the reference's startup compiles
+        nothing ahead (training_loop.py:174-179); this is the TPU-native
+        answer to its "first tick is slow" note.
+        """
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = jax.random.PRNGKey(0)
+        plan = self._program_plan(state, stack, crops, rng)
+        lowered = []
+        t0 = _time.time()
+        for name, key, fn, args, statics in plan:
+            try:
+                lowered.append((name, (key, self._statics_key(statics)),
+                                fn.lower(*args, **statics)))
+            except Exception as e:  # pragma: no cover - defensive
+                if log:
+                    log(f"precompile: lower({name}) failed (non-fatal): "
+                        f"{str(e)[:120]}")
+        if log:
+            log(f"precompile: traced+lowered {len(lowered)} programs in "
+                f"{_time.time() - t0:.1f}s; compiling with "
+                f"{max_workers} workers...")
+
+        def compile_one(item):
+            name, akey, low = item
+            t1 = _time.time()
+            comp = low.compile()
+            return name, akey, comp, _time.time() - t1
+
+        done = 0
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for name, akey, comp, dt in pool.map(compile_one, lowered):
+                self._aot[akey] = comp
+                done += 1
+                if log:
+                    log(f"precompile: {name} ready in {dt:.1f}s "
+                        f"({done}/{len(lowered)})")
+        return done
+
+    # ------------------------------------------------------------------
     # The step
     # ------------------------------------------------------------------
 
@@ -813,7 +1040,7 @@ class PhaseExecutor:
                     and hyper.global_r1_gamma != 0
                     and step_idx % (hyper.d_reg_interval * goi) == 0)
         do_renderer = hyper.train_renderer and self.trainer._use_renderer
-        tail = self._tail_fn()
+        tail = self._tail_dispatch
         import numpy as _np
 
         # Renderer phase FIRST — the reference's phase list leads with it

@@ -247,3 +247,43 @@ def test_merge_all_matches_per_layer():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_a.pl_mean),
                                np.asarray(s_b.pl_mean), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_precompile_covers_production_programs():
+    """precompile() must lower+compile the full steady-state program set
+    ahead of the first step (cold-start lever, VERDICT r3 #4) and leave the
+    executor fully functional; its argument specs must match the real
+    dispatch types so the AOT artifacts are the ones the step uses."""
+    ens, trainer, executor = setup_exec()
+    cfg = ens.cfg
+    state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0),
+                                              batch=BATCH))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    stack = jax.random.uniform(k1, (BATCH, cfg.num_layers, 32, 32, 4),
+                               minval=-1.0, maxval=1.0)
+    crops = tuple(
+        jax.random.uniform(jax.random.fold_in(k2, i),
+                           (BATCH,) + cfg.layer_targets[i] + (4,),
+                           minval=-1.0, maxval=1.0)
+        for i in range(cfg.num_layers))
+    logs = []
+    n = executor.precompile(state, stack, crops, max_workers=2,
+                            log=logs.append)
+    # 2 geometry reps × 4 local phase kinds + Renderer + global_Gmain +
+    # global_Dmain+ema + global_Dmain + global_Dreg+ema = 13
+    assert n == 13, (n, logs)
+    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(stats['global/Loss/G/loss']))
+
+    # bucket mode: buckets of k>1 use the vmapped bucket programs
+    ens2, trainer2, _ = setup_exec()
+    bucket_exec = PhaseExecutor(trainer2, merge_locals='bucket')
+    state2 = jax.device_put(trainer2.init_state(jax.random.PRNGKey(0),
+                                                batch=BATCH))
+    n2 = bucket_exec.precompile(state2, stack, crops, max_workers=2)
+    # bucket a+c (4 programs) + singleton b (4) + same 5 tail = 13
+    assert n2 == 13
+    state2, stats2 = bucket_exec.step(state2, stack, crops,
+                                      jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(stats2['global/Loss/G/loss']))
