@@ -225,8 +225,15 @@ _HZ_GEOM = setup_filter(WAVELETS['sym6'])
 # 160: 31.9/108.9/209.0).  Coverage bounds at the new values are
 # equal-or-better: transpose |J⁻¹| ≤ 128/(2·23+13) = 2.17 (was 2.13),
 # forward |J| ≤ (96−13)·2/48 = 3.46 (was 3.19).
+# 2026-08-21 r4 sweep adds weight_precision=DEFAULT (single-pass bf16
+# weight-build matmul): fwd 26.1 / fwd+bwd 84.8 / gg 159.8 ms — −17%
+# score at the same tiles; every tile/block alternative re-lost at the
+# new precision.  Weight error ~0.4% relative — noise-level against the
+# pipe's own corruption stages; end-to-end guarded by the bench's on-chip
+# matmul-vs-gather selftest.
 WARP_TUNE = dict(tile=48, block=96, tile_t=24, block_t=128,
-                 chunk=32, chunk_t=24, precision=jax.lax.Precision.DEFAULT)
+                 chunk=32, chunk_t=24, precision=jax.lax.Precision.DEFAULT,
+                 weight_precision=jax.lax.Precision.DEFAULT)
 
 # Per-input-geometry overrides (keyed by the (H, W) of the image entering
 # the pipe — the per-layer local-D crop shapes, reference
