@@ -380,7 +380,7 @@ def main():
             n_pre = executor.precompile(
                 state0, stack, crops,
                 max_workers=int(os.environ.get('MGT_PRECOMPILE_WORKERS',
-                                               '6')),
+                                               '10')),
                 log=_log)
             _log(f"precompile: {n_pre} programs ready in "
                  f"{time.time() - t_pre:.0f}s")
