@@ -37,6 +37,10 @@ def parse_range(s: str) -> List[int]:
                    'synthesis instead of sampling seeds '
                    '(reference: generate.py:92-103)')
 @click.option('--trunc', 'truncation_psi', type=float, default=1.0)
+@click.option('--class', 'class_idx', type=int, default=None,
+              help='Class label index for conditional networks '
+                   '(unconditional if not specified; reference: '
+                   'generate.py:44,111-118)')
 @click.option('--noise-mode', type=click.Choice(['const', 'random', 'none']),
               default='const')
 @click.option('--outdir', required=True, metavar='DIR')
@@ -44,7 +48,7 @@ def parse_range(s: str) -> List[int]:
 @click.option('--composite', type=click.Choice(['alpha', 'renderer']),
               default='alpha')
 def main(network_path, seeds, truncation_psi, noise_mode, outdir,
-         save_layers, composite, projected_w):
+         save_layers, composite, projected_w, class_idx):
     """Generate montage images (RGBA) from a snapshot."""
     from ..utils.platform import select_platform
     select_platform()
@@ -129,9 +133,28 @@ def main(network_path, seeds, truncation_psi, noise_mode, outdir,
         mapping, map_vars, synthesis, syn_vars, kw = \
             generator_from_pkl(network_path)
 
+        # Labels (reference contract: generate.py:110-118 — a conditional
+        # network refuses to sample without --class; --class on an
+        # unconditional network is ignored with a warning).
+        c_dim = int(kw.get('c_dim', 0) or 0)
+        label = None
+        if c_dim != 0:
+            if class_idx is None:
+                raise click.UsageError(
+                    'Must specify class label with --class when using '
+                    'a conditional network')
+            if not 0 <= class_idx < c_dim:
+                raise click.UsageError(
+                    f'--class={class_idx} out of range for c_dim={c_dim}')
+            label = jnp.zeros([1, c_dim], jnp.float32).at[0, class_idx].set(1)
+        elif class_idx is not None:
+            print('warn: --class=lbl ignored when running on '
+                  'an unconditional network')
+
         @jax.jit
         def sample_pkl(z):
-            ws = mapping.apply(map_vars, z, truncation_psi=truncation_psi)
+            ws = mapping.apply(map_vars, z, c=label,
+                               truncation_psi=truncation_psi)
             img = synthesis.apply(syn_vars, ws, noise_mode=noise_mode)
             return jnp.clip(img * 0.5 + 0.5, 0, 1)  # [-1,1] → [0,1]
 
@@ -146,6 +169,9 @@ def main(network_path, seeds, truncation_psi, noise_mode, outdir,
         return
 
     cfg, ens, tree = load_ema_snapshot(network_path)
+    if class_idx is not None:
+        print('warn: --class=lbl ignored when running on '
+              'an unconditional network')
 
     # the same composition the serving exporter freezes (utils/serving.py)
     from ..utils.serving import build_inference_fn

@@ -575,17 +575,58 @@ def _warp_transpose_outtiled(spec: _Spec, g, theta):
 
 
 def _adjoint_impl():
-    """``MGT_WARP_ADJOINT``: ``in`` (default — input-tiled transpose with
-    the measured block_t coverage contract; fastest on v5e) | ``out``
-    (exact adjoint of the tiled forward for every theta, ~27% slower bwd).
-    Read at trace time."""
+    """``MGT_WARP_ADJOINT``: ``in`` (input-tiled transpose with
+    the measured block_t coverage contract) | ``out``
+    (exact adjoint of the tiled forward for every theta, ~27% slower bwd
+    than ``in`` in the XLA engine).  Read at trace time.  Ignored when the
+    Mosaic engine is active (its transpose is always the exact adjoint)."""
     return os.environ.get('MGT_WARP_ADJOINT', 'in')
+
+
+def _use_mosaic_engine() -> bool:
+    """``MGT_WARP_ENGINE``: ``mosaic`` | ``xla`` | ``auto`` (default).
+
+    ``mosaic`` routes the tiled forward AND its transpose through the
+    hand-scheduled Pallas kernels (ops/pallas/warp_kernel.py): VMEM-resident
+    weight build + contractions, double-buffered window DMA, and an
+    always-exact adjoint (window cotangents accumulate in a VMEM-resident
+    plane, so the ``in`` engine's coverage contract disappears).  ``auto``
+    picks mosaic on TPU backends (measured faster at every production ADA
+    geometry on v5e — see docs/PERF.md r5) and the XLA engine elsewhere
+    (CPU tests run the kernels via interpret mode explicitly).  Read at
+    trace time."""
+    eng = os.environ.get('MGT_WARP_ENGINE', 'auto')
+    if eng == 'mosaic':
+        return True
+    if eng == 'xla':
+        return False
+    return _MOSAIC_AUTO and jax.default_backend() == 'tpu'
+
+
+# auto-engine resolution on TPU backends; flipped to True once the Mosaic
+# kernels measured faster than the XLA engine at the production geometries
+# (docs/PERF.md r5 "Mosaic warp engine")
+_MOSAIC_AUTO = False
 
 
 # ----------------------- mutually-adjoint vjp pair ------------------------
 
+def _mosaic_dtype():
+    """``MGT_WARP_MOSAIC_DTYPE``: ``bfloat16`` (default — the production
+    single-pass operating point, same error class as the XLA engine's
+    ``precision/weight_precision = DEFAULT`` on TPU) | ``float32`` (exact
+    algorithm checks in tests)."""
+    return jnp.dtype(os.environ.get('MGT_WARP_MOSAIC_DTYPE', 'bfloat16'))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _warp(spec: _Spec, x, theta):
+    if _use_mosaic_engine():
+        from .pallas.warp_kernel import warp_forward_pallas
+        return warp_forward_pallas(x, theta, spec.out_h, spec.out_w,
+                                   tile=spec.tile, block=spec.block,
+                                   up=spec.up, taps=spec.taps,
+                                   compute_dtype=_mosaic_dtype())
     return _warp_tiled(spec, x, theta)
 
 
@@ -602,6 +643,12 @@ _warp.defvjp(_warp_fwd, _warp_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _warpT(spec: _Spec, g, theta):
+    if _use_mosaic_engine():
+        from .pallas.warp_kernel import warp_transpose_pallas
+        return warp_transpose_pallas(g, theta, spec.h, spec.w,
+                                     tile=spec.tile, block=spec.block,
+                                     up=spec.up, taps=spec.taps,
+                                     compute_dtype=_mosaic_dtype())
     if _adjoint_impl() == 'in':
         return _warp_transpose_tiled(spec, g, theta)
     return _warp_transpose_outtiled(spec, g, theta)

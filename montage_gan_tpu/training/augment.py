@@ -237,11 +237,13 @@ WARP_TUNE = dict(tile=48, block=96, tile_t=24, block_t=128,
 
 # Per-input-geometry overrides (keyed by the (H, W) of the image entering
 # the pipe — the per-layer local-D crop shapes, reference
-# custom/dataset_aio.py:30-83).  The base WARP_TUNE was swept at 256²;
-# smaller canvases prefer smaller transpose windows (the |J⁻¹| coverage
-# reach scales with the plane, the per-tile fixed costs don't).  Populate
-# from `python docs/tools/warp_sweep.py H W` runs on the target part
-# (docs/PERF.md records the v5e sweeps).
+# custom/dataset_aio.py:30-83).  Populate from
+# `python docs/tools/warp_sweep.py H W` runs on the target part.
+# v5e conclusion (r4 sweeps, all six production geometries): the base
+# WARP_TUNE tiles win at every geometry — the only winning lever was
+# weight_precision=DEFAULT (−17–24% score everywhere), which lives in the
+# base dict above — so this table is INTENTIONALLY EMPTY on v5e.  Other
+# parts (v5p/v6e VMEM and MXU shapes differ) should re-sweep.
 WARP_TUNE_BY_GEOM: dict = {}
 
 

@@ -98,7 +98,8 @@ class PhaseExecutor:
           BUILT AND MEASURED SLOWER on v5e, kept as the reference
           implementation of that experiment: the four-layer 256² bucket
           measures 2.90 s vs 1.66 s for the same four layers dispatched
-          per-layer, 5.81 vs 4.81 s/step end-to-end, BENCH r4.  The vmap
+          per-layer, 5.81 vs 4.70 s/step end-to-end in the same r4
+          pre-warp-sweep measurement window.  The vmap
           turns the per-layer convs into grouped convs and the warp's
           window slices into batched gathers, losing more MXU efficiency
           than the saved dispatches are worth; at bucket_microbatch
@@ -120,6 +121,11 @@ class PhaseExecutor:
         # artifacts, so routing around it avoids paying the compile/
         # deserialize/program-load cost twice)
         self._aot: Dict[Any, Any] = {}
+        # dispatch accounting: AOT executions per key, and jit-path
+        # dispatches of programs precompile never covered (see _dispatch)
+        self.aot_hits: Dict[Any, int] = {}
+        self.aot_misses: Dict[Any, int] = {}
+        self._aot_fallback_warned: set = set()
         self.trainer = trainer
         self.ens = trainer.ens
         self.hyper = trainer.hyper
@@ -785,14 +791,32 @@ class PhaseExecutor:
         cache does not reuse AOT artifacts — going through the jit path
         would compile/load the program a second time).  An argument-spec
         mismatch (e.g. a caller with different batch shapes than the
-        precompiled ones) falls back to the jit path."""
+        precompiled ones) falls back to the jit path — LOUDLY (warn once
+        per program key): a silent fallback would quietly forfeit the
+        entire AOT cold-start win (the first step regresses to the ~324 s
+        serial path with no signal).  ``aot_hits``/``aot_misses`` count
+        dispatches for the precompile-coverage test."""
         statics = statics or {}
-        comp = self._aot.get((key, self._statics_key(statics)))
+        akey = (key, self._statics_key(statics))
+        comp = self._aot.get(akey)
         if comp is not None:
             try:
-                return comp(*args)
-            except (TypeError, ValueError):
-                pass
+                out = comp(*args)
+                self.aot_hits[akey] = self.aot_hits.get(akey, 0) + 1
+                return out
+            except (TypeError, ValueError) as e:
+                if akey not in self._aot_fallback_warned:
+                    self._aot_fallback_warned.add(akey)
+                    import warnings
+                    warnings.warn(
+                        f'PhaseExecutor: AOT executable for {akey!r} exists '
+                        f'but the dispatch arguments do not match its '
+                        f'compiled spec ({type(e).__name__}: {str(e)[:200]}) '
+                        f'— falling back to the jit path (recompiles; the '
+                        f'precompile win is lost for this program)')
+        elif self._aot:
+            # precompile ran but never produced this program — same hazard
+            self.aot_misses[akey] = self.aot_misses.get(akey, 0) + 1
         return jitfn(*args, **statics)
 
     def _tail_dispatch(self, *args, **gates):
@@ -835,6 +859,30 @@ class PhaseExecutor:
         aug_p = spec(state.aug_p)
         crops_s = [spec(c) for c in crops]
         plan = []
+
+        if hyper.train_local and opt_g and self.merge_locals == 'all':
+            # the fused locals program IS the big compile in 'all' mode —
+            # without it in the plan precompile covers only the 5 tail
+            # programs and buys almost nothing.  One variant per reg combo
+            # the interval schedule can actually produce.
+            gi = hyper.g_reg_interval
+            di = hyper.d_reg_interval
+            combos = set()
+            import math
+            period = ((gi or 1) * (di or 1)) // math.gcd(gi or 1, di or 1)
+            for i in range(period):
+                combos.add((gi is not None and hyper.pl_weight != 0
+                            and i % gi == 0,
+                            di is not None and hyper.r1_gamma != 0
+                            and i % di == 0))
+            l_args = (mapping, tuple(local_g), tuple(opt_g),
+                      tuple(local_d), tuple(opt_d), pl_mean, sign_sum,
+                      sign_count, tuple(crops_s), rng, aug_p)
+            for do_greg, do_dreg in sorted(combos):
+                plan.append((f'locals[greg={do_greg},dreg={do_dreg}]',
+                             ('locals', do_greg, do_dreg),
+                             self._locals_fn(do_greg, do_dreg),
+                             l_args, {}))
 
         if hyper.train_local and opt_g and self.merge_locals != 'all':
             use_bucket = self.merge_locals == 'bucket'
@@ -1073,10 +1121,12 @@ class PhaseExecutor:
             if self.merge_locals == 'all':
                 (mapping, g_t, og_t, d_t, od_t, pl_mean, sign_sum,
                  sign_count, st) = timed(
-                    'locals', self._locals_fn(do_greg, do_dreg),
-                    mapping, tuple(local_g), tuple(opt_g), tuple(local_d),
-                    tuple(opt_d), pl_mean, sign_sum, sign_count,
-                    tuple(crops), rng, state.aug_p)
+                    'locals', self._dispatch,
+                    ('locals', do_greg, do_dreg),
+                    self._locals_fn(do_greg, do_dreg),
+                    (mapping, tuple(local_g), tuple(opt_g), tuple(local_d),
+                     tuple(opt_d), pl_mean, sign_sum, sign_count,
+                     tuple(crops), rng, state.aug_p))
                 local_g, opt_g = list(g_t), list(og_t)
                 local_d, opt_d = list(d_t), list(od_t)
                 stats.update(st)

@@ -252,8 +252,10 @@ def test_merge_all_matches_per_layer():
     # elements at ≤ 5.2e-3 with everything else at f32 noise.  A semantic
     # divergence (wrong RNG stream / phase order) flips ~half the
     # elements, which the fraction gate catches.
-    from montage_gan_tpu.training.train_step import TrainHyper as _TH
-    lr_bound = 8.0 * _TH().lrate + 1e-6
+    # bound from the hyper the executors ACTUALLY run with (not TrainHyper
+    # defaults — a custom lrate in setup_exec would silently skew the gate)
+    lr_bound = 8.0 * trainer.hyper.lrate + 1e-6
+    n_flipped = 0
     for a, b in zip(la, lb):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         d = np.abs(a - b)
@@ -262,6 +264,10 @@ def test_merge_all_matches_per_layer():
         if d.size:
             frac = float(np.mean(d > 2e-4))
             assert frac <= 0.01, frac
+            n_flipped += int(np.sum(d > 2e-4))
+    # fraction AND absolute count: at this tiny param count a per-leaf 1%
+    # could still hide dozens of flips repo-wide (observed healthy run: 21)
+    assert n_flipped <= 64, n_flipped
     np.testing.assert_allclose(np.asarray(s_a.pl_mean),
                                np.asarray(s_b.pl_mean), rtol=1e-3,
                                atol=1e-5)
@@ -291,8 +297,16 @@ def test_precompile_covers_production_programs():
     # 2 geometry reps × 4 local phase kinds + Renderer + global_Gmain +
     # global_Dmain+ema + global_Dmain + global_Dreg+ema = 13
     assert n == 13, (n, logs)
-    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(7))
+    state, stats = executor.step(state, stack, crops, jax.random.PRNGKey(7),
+                                 step_idx=0)
     assert np.isfinite(np.asarray(stats['global/Loss/G/loss']))
+    # the AOT artifacts must actually be HIT by the step — a silent
+    # argument-spec drift would fall back to the jit path and forfeit the
+    # precompile win (ADVICE r4 #1).  Step 0 runs greg+dreg for both
+    # geometry reps plus 3 tail programs (Renderer, global_Gmain,
+    # global_Dmain / Dreg+ema variants per the interval schedule).
+    assert sum(executor.aot_hits.values()) >= 10, executor.aot_hits
+    assert not executor.aot_misses, executor.aot_misses
 
     # bucket mode: buckets of k>1 use the vmapped bucket programs
     ens2, trainer2, _ = setup_exec()
@@ -303,5 +317,23 @@ def test_precompile_covers_production_programs():
     # bucket a+c (4 programs) + singleton b (4) + same 5 tail = 13
     assert n2 == 13
     state2, stats2 = bucket_exec.step(state2, stack, crops,
-                                      jax.random.PRNGKey(7))
+                                      jax.random.PRNGKey(7), step_idx=0)
     assert np.isfinite(np.asarray(stats2['global/Loss/G/loss']))
+    assert sum(bucket_exec.aot_hits.values()) >= 10, bucket_exec.aot_hits
+    assert not bucket_exec.aot_misses, bucket_exec.aot_misses
+
+    # 'all' mode: the fused locals program (the largest compile) must be
+    # in the plan too, one variant per reachable reg combo (ADVICE r4 #2)
+    ens3, trainer3, _ = setup_exec()
+    all_exec = PhaseExecutor(trainer3, merge_locals='all')
+    state3 = jax.device_put(trainer3.init_state(jax.random.PRNGKey(0),
+                                                batch=BATCH))
+    n3 = all_exec.precompile(state3, stack, crops, max_workers=2)
+    # g_reg=d_reg=2 → reachable combos {(T,T),(F,F)} = 2 locals + 5 tail
+    assert n3 == 7, n3
+    state3, stats3 = all_exec.step(state3, stack, crops,
+                                   jax.random.PRNGKey(7), step_idx=0)
+    assert np.isfinite(np.asarray(stats3['global/Loss/G/loss']))
+    assert any(k[0] == ('locals', True, True) for k in all_exec.aot_hits), \
+        all_exec.aot_hits
+    assert not all_exec.aot_misses, all_exec.aot_misses

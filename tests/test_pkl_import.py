@@ -102,6 +102,63 @@ def test_generate_cli_from_pkl(tmp_path):
     assert sorted(os.listdir(outdir)) == ['seed0000.png', 'seed0001.png']
 
 
+def test_generate_cli_conditional_class_label(tmp_path):
+    """--class parity with reference generate.py:44,111-118: a conditional
+    pkl refuses to sample without --class, samples with a valid label, and
+    an unconditional network warns when --class is passed."""
+    from click.testing import CliRunner
+    from custom.networks_aio import Generator
+    from torch_utils import persistence
+
+    cls = persistence.persistent_class(Generator)
+    g = cls(z_dim=16, c_dim=3, w_dim=16, img_resolution=16, img_channels=4,
+            mapping_kwargs=dict(num_layers=2),
+            synthesis_kwargs=dict(channel_base=512, channel_max=64,
+                                  num_fp16_res=0, conv_clamp=None)).eval()
+    path = str(tmp_path / 'cond.pkl')
+    with open(path, 'wb') as f:
+        pickle.dump(dict(G_ema=g), f)
+
+    from montage_gan_tpu.cli.generate import main as gen_main
+    outdir = str(tmp_path / 'out')
+
+    # conditional without --class → refused
+    res = CliRunner().invoke(gen_main, ['--network', path, '--seeds', '0',
+                                        '--outdir', outdir])
+    assert res.exit_code != 0
+    assert 'Must specify class label with --class' in res.output
+
+    # out-of-range label → refused
+    res = CliRunner().invoke(gen_main, ['--network', path, '--seeds', '0',
+                                        '--outdir', outdir, '--class', '7'])
+    assert res.exit_code != 0 and 'out of range' in res.output
+
+    # valid label → sampled, and the label actually reaches the mapping:
+    # different classes must give different images
+    import os
+    from PIL import Image
+    imgs = {}
+    for ci in (0, 2):
+        od = str(tmp_path / f'out{ci}')
+        res = CliRunner().invoke(gen_main, ['--network', path, '--seeds', '0',
+                                            '--outdir', od, '--class', str(ci)])
+        assert res.exit_code == 0, res.output
+        assert os.listdir(od) == ['seed0000.png']
+        imgs[ci] = np.asarray(Image.open(f'{od}/seed0000.png'))
+    assert not np.array_equal(imgs[0], imgs[2])
+
+    # unconditional network + --class → warn, still samples
+    g0 = _make_ref_generator().eval()
+    path0 = str(tmp_path / 'uncond.pkl')
+    with open(path0, 'wb') as f:
+        pickle.dump(dict(G_ema=g0), f)
+    od = str(tmp_path / 'outu')
+    res = CliRunner().invoke(gen_main, ['--network', path0, '--seeds', '0',
+                                        '--outdir', od, '--class', '1'])
+    assert res.exit_code == 0, res.output
+    assert 'ignored when running on an unconditional network' in res.output
+
+
 def test_convert_pickle_cli_roundtrip(tmp_path):
     """pkl → native snapshot → generate parity vs the torch forward."""
     from click.testing import CliRunner
