@@ -603,10 +603,11 @@ def _use_mosaic_engine() -> bool:
     return _MOSAIC_AUTO and jax.default_backend() == 'tpu'
 
 
-# auto-engine resolution on TPU backends; flipped to True once the Mosaic
-# kernels measured faster than the XLA engine at the production geometries
+# auto-engine resolution on TPU backends: True since the Mosaic kernels
+# measured 33.6 vs 69.1 ms fwd+bwd against the XLA engine at the 256-px
+# production ADA shape with an always-exact adjoint
 # (docs/PERF.md r5 "Mosaic warp engine")
-_MOSAIC_AUTO = False
+_MOSAIC_AUTO = True
 
 
 # ----------------------- mutually-adjoint vjp pair ------------------------

@@ -246,7 +246,8 @@ def _weights_pm(g: _Geom, sp, l0f, B, mv, t_ref, axis_virtual_len):
     return jax.lax.dot_general(
         h, t_ref[:].astype(g.compute_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(g.compute_dtype)  # [P, B]
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT).astype(g.compute_dtype)  # [P, B]
 
 
 def _weights_mp(g: _Geom, sp, l0f, B, mv, t_t_ref, axis_virtual_len):
@@ -262,7 +263,8 @@ def _weights_mp(g: _Geom, sp, l0f, B, mv, t_t_ref, axis_virtual_len):
     return jax.lax.dot_general(
         t_t_ref[:].astype(g.compute_dtype), h,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(g.compute_dtype)  # [B, P]
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT).astype(g.compute_dtype)  # [B, P]
 
 
 # ---------------------------------------------------------------------------
@@ -330,19 +332,22 @@ def warp_forward_pallas(x: jax.Array, theta: jax.Array, out_h: int,
         z = jax.lax.dot_general(
             wy, xwin[t % 2],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # [P, bw·C]
+            preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT)                 # [P, bw·C]
         # x-weights lane-expanded to the (w, c) interleave (static 0/1
         # expansion matmul), then the channel sums extracted with the
         # static selector matmul, producing the planar [C, P] block.
         wxe = jax.lax.dot_general(
             wx, exp_ref[:].astype(g.compute_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # [P, bw·C]
+            preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT)                 # [P, bw·C]
         prod = (z * wxe).astype(g.compute_dtype)
         out_ref[0] = jax.lax.dot_general(
             sel_ref[:].astype(g.compute_dtype), prod,
             dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # [C, P]
+            preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT)                 # [C, P]
 
     out_tiles = pl.pallas_call(
         kernel,
@@ -440,14 +445,16 @@ def warp_transpose_pallas(gout: jax.Array, theta: jax.Array, in_h: int,
              for ch in range(c)], axis=0)                       # [C·bw, P]
         dwt = jax.lax.dot_general(
             vt, wy, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # [C·bw, bh]
+            preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT)                 # [C·bw, bh]
         # transpose + channel-blocked → (w, c)-interleaved, in one static
         # permutation contraction on the MXU
         dwin = jax.lax.dot_general(
             dwt.astype(g.compute_dtype),
             perm_ref[:].astype(g.compute_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # [bh, bw·C]
+            preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT)                 # [bh, bw·C]
 
         h0 = pl.multiple_of(h0_ref[t], g.ah)
         w0l = pl.multiple_of(w0_ref[t] * c, 128)

@@ -147,6 +147,29 @@ def test_mosaic_transpose_matches_xla_outtiled():
                                rtol=1e-4, atol=1e-4)
 
 
+@quick
+def test_mosaic_kernels_under_f32_matmul_precision_context():
+    """The augment pipe wraps everything in
+    ``jax.default_matmul_precision('float32')`` (sub-pixel transform chains
+    need f32) — the kernels' bf16 dots must pin their own precision or that
+    context reaches Mosaic as HIGHEST-on-bf16 and fails to compile
+    (regression: r5 on-chip bench, every geometry failed until the
+    in-kernel dots carried explicit Precision.DEFAULT)."""
+    kx = jax.random.PRNGKey(7)
+    x = jax.random.uniform(kx, (2, 44, 36, 4), jnp.float32)
+    theta = _thetas(2, seed=11)
+    with pltpu.force_tpu_interpret_mode():
+        ref = warp_forward_pallas(x, theta, 52, 40, tile=16, block=32,
+                                  up=2, taps=TAPS,
+                                  compute_dtype=jnp.float32)
+        with jax.default_matmul_precision('float32'):
+            got = warp_forward_pallas(x, theta, 52, 40, tile=16, block=32,
+                                      up=2, taps=TAPS,
+                                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @slow
 def test_mosaic_engine_dispatch_and_gradients(monkeypatch):
     """The public ``affine_warp`` routed through MGT_WARP_ENGINE=mosaic:
