@@ -330,16 +330,23 @@ def main():
     hyper = TrainHyper(batch_size=BATCH,
                        augment=make_augment_config('bgcfnc'),
                        ada_target=0.6,
-                       # async phase dispatch allocates program N+1's temps
-                       # while N executes: a full-batch local phase (~5.8G
-                       # temps) next to the ~7.5G resident state fits ONCE
-                       # but not twice on the 16G chip.  Microbatching local
-                       # phases to 16 (2 scan rounds, reference batch_gpu
-                       # rounds, training_loop_aio.py:620-627) halves the
-                       # per-program temps so back-to-back programs overlap
-                       # safely; the global/renderer phases backprop through
-                       # all 9 local Gs at once and need rounds of 8.
+                       # Local mb is 16: full-batch (mb32) local phases win
+                       # -28/-33/-40 ms on the 256px gmain/dmain/dr1 in
+                       # isolation (aug-on local_probe r5 — the Mosaic
+                       # warp's per-call fixed cost stops doubling) but OOM
+                       # the 16G part in the ASYNC measured window, with
+                       # gmb16 (first async full-reg step) and with gmb8
+                       # (mid-window) alike — r5 bench runs c/d.  Revisit
+                       # on parts with more HBM.
                        microbatch=int(os.environ.get('MGT_BENCH_MB', '16')),
+                       # Global mb stays 8.  gmb16 FITS since the Mosaic
+                       # warp engine (r4 it OOM'd) and its programs measure
+                       # faster in isolation (tail_probe r5: gGmain 769 vs
+                       # 886 ms etc., ~-200 ms/step of device time) — but
+                       # END-TO-END the bench measured 4103 vs 4060 ms/step
+                       # (runs e vs b): the async pipeline already hides
+                       # tail latency, and the bigger rounds' HBM pressure
+                       # costs more than the device-time saving returns.
                        global_microbatch=int(
                            os.environ.get('MGT_BENCH_GLOBAL_MB', '8')),
                        # bucket mode vmaps the four 256² layers in one

@@ -1,5 +1,18 @@
 """Exact bilinear (and FIR-fused) affine warp as tiled dense matmuls.
 
+TWO ENGINES live behind the public ``affine_warp``:
+
+* the **Mosaic engine** (``ops/pallas/warp_kernel.py``) — hand-scheduled
+  Pallas kernels; the DEFAULT on TPU backends since r5 (``MGT_WARP_ENGINE``,
+  measured 33.6 vs 69.1 ms fwd+bwd at the 256-px ADA shape).  Its transpose
+  is the EXACT adjoint of its forward for every theta (the windows'
+  cotangents accumulate in a VMEM-resident plane), so the ``in``-adjoint
+  coverage contract documented below does NOT apply in production on TPU;
+* the **XLA engine** (this file) — the portable implementation and the CPU/
+  test oracle; everything below describes it.  Its default ``in`` transpose
+  carries the measured coverage contract; ``MGT_WARP_ADJOINT=out`` selects
+  its exact-but-slower adjoint.
+
 Computes the same result as ``grid_sample(x, affine_grid(theta, Ho, Wo))``
 (torch ``align_corners=False`` bilinear with zeros padding — the contract of
 reference ``torch_utils/ops/grid_sample_gradfix.py:28`` as used by the ADA

@@ -40,8 +40,11 @@ def _up_impl() -> str:
     ``lax.conv_general_dilated`` with ``lhs_dilation``; 'subpixel' contracts
     only the non-zero taps as up² phase convs on the LOW-res input (1/up²
     of the dense-at-output-res MACs when the backend executes the dilated
-    form densely).  'auto' currently resolves to 'dilated' pending on-chip
-    measurement (docs/tools/conv_probe.py compares the two real paths).
+    form densely).  'auto' resolves to 'dilated': measured r5 on real
+    production phases (v5e, 256² noaug, mb16): subpixel gmain 93.5 /
+    dmain 110.6 ms vs dilated 81.7 / 105.1 — XLA's dilated lowering
+    already skips the stuffed zeros on TPU, and the subpixel form's up²
+    phase convs + stack/reshape cost more than they save.
     """
     impl = os.environ.get('MGT_UP_IMPL', 'auto')
     if impl == 'auto':

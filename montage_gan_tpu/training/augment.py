@@ -418,18 +418,17 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
         if use_matmul_warp():
             # Dense-matmul warp engine with the ×2 upsample fused into the
             # sampling kernel (exact — see ops/affine_warp.py): the warp
-            # reads the 1× padded plane directly.  Measured at the 256px ADA
-            # shape (mb16, 396→524 fused ×2): fwd 31 vs 215 ms, bwd 131 vs
-            # 1464 ms against up2+gather on a v5e.  Tile/block/chunk values
-            # are the swept optimum at that shape.  Gradient exactness: the
-            # default 'in' adjoint carries the transpose coverage contract
-            # (|J⁻¹| ≤ ~2.13: 0.24% of draws at the production ceiling
-            # p=0.6 lose gradient mass, median loss <0.1% of that sample's
-            # augment gradient — measured contract in the ops/affine_warp.py
-            # docstring); the forward bound (|J| ≤ ~3.5, 0 violations in
-            # 1e5 draws) applies to both engines.  MGT_WARP_ADJOINT=out
-            # selects an adjoint that is exact for EVERY theta (measured
-            # ~27% slower bwd on v5e — numbers in ops/affine_warp.py).
+            # reads the 1× padded plane directly.  On TPU this resolves to
+            # the Mosaic kernels (ops/pallas/warp_kernel.py, r5 default —
+            # 33.6 vs 69.1 ms fwd+bwd at this 256px shape) whose adjoint is
+            # EXACT for every theta, so no transpose-side coverage contract
+            # applies in production.  The XLA engine (CPU / MGT_WARP_ENGINE
+            # =xla) keeps the measured 'in'-adjoint contract (|J⁻¹| ≤
+            # ~2.13: 0.24% of draws at the production ceiling p=0.6 lose
+            # bounded gradient mass — ops/affine_warp.py docstring);
+            # MGT_WARP_ADJOINT=out selects its exact adjoint (~27% slower).
+            # The forward bound (|J| ≤ ~3.5, 0 violations in 1e5 draws)
+            # applies to all engines.
             tune = _warp_tune_for(height, width)
             if os.environ.get('MGT_WARP_GUARD', '0') == '1':
                 # Runtime escape hatch for out-of-contract thetas: when any
