@@ -214,6 +214,54 @@ def _make_fbank() -> np.ndarray:
 _HZ_FBANK = _make_fbank()
 _HZ_GEOM = setup_filter(WAVELETS['sym6'])
 
+
+def _toeplitz_rows(f: jax.Array, n_out: int) -> jax.Array:
+    """Per-sample banded correlation matrices from 1-D filters.
+
+    ``f``: ``[B, taps]`` → ``[B, n_out, n_out + taps − 1]`` with
+    ``M[b, i, i + t] = f[b, t]`` — so ``M @ x_padded`` equals a VALID
+    correlation of ``x`` reflect-padded by ``taps//2`` (odd taps).
+
+    Built with the tile/slice/reshape Toeplitz trick (no gather, no big
+    static constants): tiling ``[f, 0⋯0]`` (length taps+n_out) n_out times
+    and reshaping to rows of length taps+n_out−1 shifts each row by one.
+
+    Rationale: the reference applies the per-sample ADA filters as grouped
+    depthwise convs (training/augment.py:442-451); on TPU that lowering
+    (vmap → batch·C feature groups, 43-tap kernels) measured ~12 ms per
+    256² call (r5 op-profile) while this banded-matmul form runs on the
+    MXU in well under 1 ms for the same exact linear operator.
+    """
+    b, taps = f.shape
+    width = n_out + taps - 1
+    c = jnp.concatenate([f, jnp.zeros((b, n_out), f.dtype)], axis=1)
+    s = jnp.tile(c, (1, n_out))[:, :n_out * width]
+    return s.reshape(b, n_out, width)
+
+
+def _down2_matrix(n_in: int, dtype=np.float32) -> np.ndarray:
+    """Static ``[n_out, n_in]`` matrix of the geometric branch's trailing
+    ``downsample2d(f=_HZ_GEOM, down=2, padding=−2·hz_pad, flip_filter=True)``
+    along one axis: ``out[q] = Σ_j f[j] · x[2q + j − p0]`` with the upfirdn
+    pad algebra ``p0 = padding + (taps − down + 1)//2``
+    (ops/upfirdn2d.py:190-199; reference torch_utils/ops/upfirdn2d.py:
+    367-401).  Exact same linear operator as the conv path; as a pair of
+    axis matmuls it avoids the conv path's internal pad and the C=4 NHWC
+    depthwise lowering (~7 ms fwd+bwd per 256² call, r5 op-profile).
+    """
+    f = np.asarray(_HZ_GEOM, np.float32)
+    taps = int(f.shape[0])
+    hz_pad = taps // 4
+    p0 = -2 * hz_pad + (taps - 2 + 1) // 2
+    n_out = (n_in + 2 * p0 - taps) // 2 + 1
+    D = np.zeros((n_out, n_in), dtype)
+    for q in range(n_out):
+        for j in range(taps):
+            s = 2 * q + j - p0
+            if 0 <= s < n_in:
+                D[q, s] += f[j]
+    return D
+
 # Matmul-warp engine knobs for the geometric branch (ops/affine_warp.py),
 # the swept optimum at the 256-px ADA shape on a v5e (see the call site
 # below for the coverage contract at these values).  Module-level so the
@@ -458,8 +506,14 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
                                 up=2, up_filter=_HZ_GEOM, **tune)
         else:
             x = _gather_warp(x)
-        images = downsample2d(x, _HZ_GEOM, down=2, padding=-hz_pad * 2,
-                              flip_filter=True)
+        if os.environ.get('MGT_AUG_DOWN_IMPL', 'matmul') == 'matmul':
+            Dy = jnp.asarray(_down2_matrix(out_h))
+            Dx = Dy if out_w == out_h else jnp.asarray(_down2_matrix(out_w))
+            t = jnp.einsum('qh,nhwc->nqwc', Dy, x)
+            images = jnp.einsum('rw,nqwc->nqrc', Dx, t)
+        else:
+            images = downsample2d(x, _HZ_GEOM, down=2, padding=-hz_pad * 2,
+                                  flip_filter=True)
 
     # ------------------------------ color --------------------------------
     have_color = (cfg.brightness > 0 or cfg.contrast > 0 or cfg.lumaflip > 0
@@ -538,23 +592,36 @@ def _augment_pipe(images, p, key, cfg, debug_percentile):
 
         hz_prime = g @ jnp.asarray(_HZ_FBANK)  # [B, taps]
         taps = _HZ_FBANK.shape[1]
+        assert taps % 2 == 1
         pad = taps // 2
         x = jnp.pad(images, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
                     mode='reflect')
 
-        def filt_one(img, f1d):
-            # depthwise separable correlation with a per-sample 1-D filter
-            kx = jnp.tile(f1d[None, :, None, None], (1, 1, 1, num_channels))
-            ky = jnp.tile(f1d[:, None, None, None], (1, 1, 1, num_channels))
-            y = lax.conv_general_dilated(img[None], kx, (1, 1), 'VALID',
-                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                                         feature_group_count=num_channels)
-            y = lax.conv_general_dilated(y, ky, (1, 1), 'VALID',
-                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                                         feature_group_count=num_channels)
-            return y[0]
+        if os.environ.get('MGT_AUG_FILTER_IMPL', 'matmul') == 'matmul':
+            # per-sample banded-matmul form of the separable correlation
+            # (exact same operator as the conv path — see _toeplitz_rows)
+            My = _toeplitz_rows(hz_prime, height)
+            Mx = My if width == height else _toeplitz_rows(hz_prime, width)
+            t = jnp.einsum('nqh,nhwc->nqwc', My, x)
+            images = jnp.einsum('nrw,nqwc->nqrc', Mx, t)
+        else:
+            def filt_one(img, f1d):
+                # depthwise separable correlation, per-sample 1-D filter
+                kx = jnp.tile(f1d[None, :, None, None],
+                              (1, 1, 1, num_channels))
+                ky = jnp.tile(f1d[:, None, None, None],
+                              (1, 1, 1, num_channels))
+                y = lax.conv_general_dilated(
+                    img[None], kx, (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=num_channels)
+                y = lax.conv_general_dilated(
+                    y, ky, (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=num_channels)
+                return y[0]
 
-        images = jax.vmap(filt_one)(x, hz_prime)
+            images = jax.vmap(filt_one)(x, hz_prime)
 
     # -------------------------- corruptions ------------------------------
     if cfg.noise > 0:
