@@ -12,8 +12,6 @@ phase ∈ {gmain, dmain, dr1, greg}.  Writes the raw trace under
 /tmp/mgt_profile (inspectable with tensorboard), prints the top-40 ops.
 """
 
-import glob
-import gzip
 import os
 import sys
 import time
@@ -93,6 +91,33 @@ def main():
                       leaves[0])
         return float(np.asarray(jax.device_get(scalar)).reshape(-1)[0])
 
+    # ---- global tail phases: profile via the pruned tail dispatch --------
+    if phase in ('global_g', 'global_d', 'global_dreg', 'renderer'):
+        stack = jnp.asarray(stack01 * 2.0 - 1.0)
+        gates = {'global_g': dict(do_global_g=True),
+                 'global_d': dict(do_global_d=True, do_global_dmain=True),
+                 'global_dreg': dict(do_global_d=True, do_global_dmain=False,
+                                     do_dreg=True),
+                 'renderer': dict(do_renderer=True)}[phase]
+        log(f"compiling tail[{phase}] (noaug={NOAUG})...")
+        t0 = time.time()
+        st_, tstats = executor._tail_dispatch(state, stack, crops, rng,
+                                              np.int32(0), **gates)
+        getleaf(tstats if tstats else st_.step)
+        log(f"first dispatch {time.time() - t0:.1f}s; tracing {ITERS} iters")
+        os.makedirs(LOGDIR, exist_ok=True)
+        jax.profiler.start_trace(LOGDIR)
+        t0 = time.time()
+        for i in range(1, ITERS + 1):
+            st_, tstats = executor._tail_dispatch(st_, stack, crops, rng,
+                                                  np.int32(i), **gates)
+        getleaf(tstats if tstats else st_.step)
+        wall = (time.time() - t0) / ITERS
+        jax.profiler.stop_trace()
+        log(f"steady {wall * 1e3:.1f} ms/iter")
+        log("parse with: python docs/tools/xplane_walk.py")
+        return
+
     def run_once():
         nonlocal m, g, og, d, od, ss, sc
         if phase == 'gmain':
@@ -125,21 +150,9 @@ def main():
     jax.profiler.stop_trace()
     log(f"steady {wall * 1e3:.1f} ms/iter")
 
-    # ---- op table from the trace (tensorboard_plugin_profile) ----------
-    xpanes = glob.glob(f'{LOGDIR}/**/*.xplane.pb', recursive=True)
-    xpanes.sort(key=os.path.getmtime)
-    if not xpanes:
-        raise SystemExit('no xplane.pb produced')
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xpanes[-1]], 'framework_op_stats', {})
-    if isinstance(data, bytes):
-        data = data.decode('utf-8', 'replace')
-    # the tool emits gzipped-json-ish or csv depending on version; print raw
-    out_path = '/tmp/mgt_profile/op_stats.txt'
-    with open(out_path, 'w') as f:
-        f.write(data if isinstance(data, str) else str(data))
-    print(data[:8000] if isinstance(data, str) else str(data)[:8000])
-    log(f"full table at {out_path}")
+    # ---- op table from the trace (minimal wire walker — the tensorboard
+    # plugin's C++ bridge is unavailable in this image) -------------------
+    log("parse with: python docs/tools/xplane_walk.py")
 
 
 if __name__ == '__main__':

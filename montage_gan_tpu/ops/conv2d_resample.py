@@ -52,6 +52,51 @@ def _up_impl() -> str:
     return impl
 
 
+def _fir_fold() -> bool:
+    """``MGT_FIR_FOLD`` ∈ {'auto','1','0'} — fold the depthwise resample FIR
+    into the dense conv kernel (exact composition of the two linear ops;
+    kernel grows to (k+taps−1)², removing the FIR pass and its intermediate).
+    'auto' resolves per measurement on v5e (r5): the FIR passes cost
+    ~2–2.4 ms/site at 256² (op-profile) while the widened kernel adds well
+    under 1 ms of MXU time."""
+    v = os.environ.get('MGT_FIR_FOLD', 'auto')
+    if v == 'auto':
+        return True
+    return v == '1'
+
+
+def _fold_weight_fir(w: jax.Array, f, flip_weight: bool, flip_filter: bool,
+                     gain: float = 1.0) -> jax.Array:
+    """Compose the depthwise FIR ``f`` into the dense kernel ``w`` (exact).
+
+    Returns the correlation-form kernel ``w'`` of spatial size
+    ``(kh+fh−1, kw+fw−1)`` such that ``corr(·, w') == corr(·, w̃) ∘ corr(·, f̃)``
+    where ``w̃``/``f̃`` are ``w``/``f`` in correlation orientation
+    (``w'[m] = Σ_k w̃[k]·f̃[m−k]``).  Order-independent: the same kernel is
+    exact whether the FIR ran before (down path) or after (up path) the
+    dense conv.  Reference semantics anchor: the down path's FIR→strided
+    conv and up path's transposed-conv→FIR compositions,
+    torch_utils/ops/conv2d_resample.py:109-160."""
+    if not flip_weight:
+        w = jnp.flip(w, (0, 1))
+    f2 = np.asarray(f, np.float32)
+    if f2.ndim == 1:
+        f2 = np.outer(f2, f2)
+    if not flip_filter:
+        f2 = f2[::-1, ::-1]
+    fh, fw = int(f2.shape[0]), int(f2.shape[1])
+    kh, kw, ci, co = (int(s) for s in w.shape)
+    wr = (w.astype(jnp.float32).transpose(2, 3, 0, 1)
+          .reshape(ci * co, kh, kw, 1))
+    ker = jnp.asarray(np.ascontiguousarray(f2[::-1, ::-1]) * gain,
+                      jnp.float32).reshape(fh, fw, 1, 1)
+    out = lax.conv_general_dilated(
+        wr, ker, (1, 1), ((fh - 1, fh - 1), (fw - 1, fw - 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return (out.reshape(ci, co, kh + fh - 1, kw + fw - 1)
+            .transpose(2, 3, 0, 1).astype(w.dtype))
+
+
 def _conv(x: jax.Array,
           w: jax.Array,
           stride: int = 1,
@@ -171,12 +216,28 @@ def conv2d_resample(x: jax.Array,
 
     # Downsampling (optionally with 1x1 conv): FIR+pad first, strided conv after.
     if down > 1 and up == 1:
+        if f is not None and _fir_fold():
+            wf = _fold_weight_fir(w, f, flip_weight, flip_filter)
+            return _conv(x, wf, stride=down,
+                         padding=((py0, py1), (px0, px1)), groups=groups,
+                         flip_weight=True)
         x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
         return _conv(x, w, stride=down, groups=groups, flip_weight=flip_weight)
 
     # Upsampling: fused zero-insert + dense conv (lhs_dilation), keeping the
     # full output, then the FIR with the remaining padding (gain up²).
     if up > 1:
+        if down == 1 and f is not None and _fir_fold() \
+                and _up_impl() == 'dilated':
+            # FIR folded into the transposed conv: one dilated conv with the
+            # composed (k+taps−1)² kernel and the total padding of both
+            # stages ((kh−1, kh−1+up−1) conv pad + the FIR stage's
+            # remaining (p − (k−1)) pad).
+            wf = _fold_weight_fir(w, f, flip_weight, flip_filter,
+                                  gain=float(up ** 2))
+            return _conv(x, wf, lhs_dilation=(up, up),
+                         padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
+                         groups=groups, flip_weight=True)
         if (_up_impl() == 'subpixel'
                 and (kh - 1) % up == 0 and (kw - 1) % up == 0):
             x = _up_conv_subpixel(x, w, up, groups=groups,
